@@ -1,0 +1,84 @@
+"""LoFTR-style local feature transformer in Flax linen.
+
+Re-design of /root/reference/network/module/transformer.py:6-97 — same math
+(QKV projections without bias, linear/full attention, concat-MLP FFN with
+post-norm residual), NHWC/sequence-major layouts, bf16-friendly.
+
+Weight-sharing note: the reference deep-copies one EncoderLayer per name
+(transformer.py:70), i.e. layers do NOT share weights; we instantiate one
+linen module per layer accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from featurematching_tpu.ops.attention import full_attention, linear_attention
+
+
+class EncoderLayer(nn.Module):
+    """One self- or cross-attention encoder layer (transformer.py:6-57)."""
+
+    d_model: int
+    nhead: int
+    attention: str = "linear"  # 'linear' | 'full'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, source, x_mask=None, source_mask=None):
+        """x: [B, L, C] queries; source: [B, S, C] keys/values."""
+        bs = x.shape[0]
+        dim = self.d_model // self.nhead
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.d_model, use_bias=False, dtype=self.dtype, name=name
+        )
+        query = dense("q_proj")(x).reshape(bs, -1, self.nhead, dim)
+        key = dense("k_proj")(source).reshape(bs, -1, self.nhead, dim)
+        value = dense("v_proj")(source).reshape(bs, -1, self.nhead, dim)
+
+        attn_fn = linear_attention if self.attention == "linear" else full_attention
+        message = attn_fn(query, key, value, q_mask=x_mask, kv_mask=source_mask)
+        message = dense("merge")(message.reshape(bs, -1, self.nhead * dim))
+        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
+
+        # feed-forward on [x || message] (transformer.py:24-28,54-55)
+        y = jnp.concatenate([x, message], axis=-1)
+        y = nn.Dense(2 * self.d_model, use_bias=False, dtype=self.dtype, name="mlp1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="mlp2")(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+
+        return x + y
+
+
+class LocalFeatureTransformer(nn.Module):
+    """Alternating self/cross stack (transformer.py:59-97)."""
+
+    d_model: int
+    nhead: int
+    layer_names: Sequence[str]
+    attention: str = "linear"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat0, feat1, mask0=None, mask1=None):
+        assert feat0.shape[-1] == self.d_model
+        for i, name in enumerate(self.layer_names):
+            layer = EncoderLayer(
+                self.d_model, self.nhead, self.attention, self.dtype, name=f"layer_{i}"
+            )
+            if name == "self":
+                feat0 = layer(feat0, feat0, mask0, mask0)
+                feat1 = layer(feat1, feat1, mask1, mask1)
+            elif name == "cross":
+                # NOTE the reference updates feat0 first and feeds the UPDATED
+                # feat0 into feat1's cross step (transformer.py:93-95); keep
+                # that asymmetric ordering for checkpoint-level parity.
+                feat0 = layer(feat0, feat1, mask0, mask1)
+                feat1 = layer(feat1, feat0, mask1, mask0)
+            else:
+                raise ValueError(f"unknown layer name {name!r}")
+        return feat0, feat1
