@@ -1,0 +1,169 @@
+"""The jit-able training/eval step — the TPU equivalent of the reference's
+Lightning module (/root/reference/lightning_new.py:187-339).
+
+The reference's `_trainval_inference` pipeline (lightning_new.py:216-230):
+    data_preprocess -> compute_supervision_coarse -> matcher ->
+    compute_supervision_fine -> loss
+becomes ONE pure function over a fixed-shape batch pytree, differentiated and
+pjit-sharded over a data-parallel mesh. Gradient all-reduce is implicit in
+jit-of-sharded-batch (GSPMD inserts the psum), replacing PL's DDP/NCCL hooks.
+
+Batch pytree (all arrays; see data/synthetic.py for a generator):
+    image0, image1: [B, H, W, C]
+    gt_kp0, gt_kp1: [B, G, 2] pseudo-GT keypoint pairs (full-res px)
+    gt_mask:        [B, G]
+    T_0to1, T_1to0: [B, 4, 4]   (pose heads / eval)
+    K0, K1:         [B, 3, 3]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from featurematching_tpu.config import Config
+from featurematching_tpu.losses.loss import LossOutput, total_loss
+from featurematching_tpu.matching.supervision import (
+    compute_supervision_coarse,
+    compute_supervision_fine,
+)
+from featurematching_tpu.models.matcher import Matcher
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def create_train_state(
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    sample_batch: Dict[str, jnp.ndarray],
+) -> Tuple[Matcher, TrainState]:
+    model = Matcher(cfg.model)
+    variables = model.init(rng, sample_batch["image0"], sample_batch["image1"])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        tx=tx,
+    )
+    return model, state
+
+
+def _forward_with_loss(
+    model: Matcher,
+    cfg: Config,
+    params,
+    batch_stats,
+    batch: Dict[str, jnp.ndarray],
+    droppath_rng: Optional[jax.Array],
+    train: bool,
+):
+    H, W = batch["image0"].shape[1:3]
+    sc = cfg.model.resolution[0]
+    grid = (H // sc, W // sc)
+
+    sup = compute_supervision_coarse(
+        batch["gt_kp0"], batch["gt_kp1"], batch["gt_mask"], grid, grid, sc
+    )
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        rngs = {"droppath": droppath_rng} if droppath_rng is not None else {}
+        out, mutated = model.apply(
+            variables,
+            batch["image0"],
+            batch["image1"],
+            train=True,
+            gt_ids=(sup.spv_i_ids, sup.spv_j_ids, sup.spv_mask),
+            want_conf_matrix=True,
+            mutable=["batch_stats"],
+            rngs=rngs,
+        )
+    else:
+        out = model.apply(
+            variables,
+            batch["image0"],
+            batch["image1"],
+            train=False,
+            want_conf_matrix=True,
+        )
+        mutated = {"batch_stats": batch_stats}
+
+    fid_i, fid_j, fid_mask = out.fine_ids
+    gt0, gt1 = compute_supervision_fine(sup.fine_mtx_0, sup.fine_mtx_1, fid_i, fid_j)
+    losses = total_loss(
+        out.conf_matrix,
+        sup.conf_matrix_gt,
+        out.fine.mkpts0_f,
+        out.fine.mkpts1_f,
+        gt0,
+        gt1,
+        fid_mask,
+        cfg.model.loss,
+        window=cfg.model.fine.window_size,
+    )
+    return losses, out, mutated.get("batch_stats", batch_stats)
+
+
+def make_train_step(model: Matcher, cfg: Config) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics). jit-able;
+    shard `batch` over the mesh 'data' axis and GSPMD handles the rest."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        def loss_fn(params):
+            losses, out, new_bs = _forward_with_loss(
+                model, cfg, params, state.batch_stats, batch, rng, train=True
+            )
+            return losses.loss, (losses, new_bs)
+
+        (loss, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {
+            "loss": losses.loss,
+            "loss_c": losses.loss_c,
+            "loss_f": losses.loss_f,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: Matcher, cfg: Config) -> Callable:
+    """Returns eval_step(state, batch) -> (matcher_output, losses)."""
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        losses, out, _ = _forward_with_loss(
+            model, cfg, state.params, state.batch_stats, batch, None, train=False
+        )
+        return out, losses
+
+    return eval_step
