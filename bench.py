@@ -1,0 +1,82 @@
+"""Benchmark: matched frame pairs / s / chip on the flagship matcher.
+
+Runs the full coarse-to-fine inference pipeline (Swin-UNet backbone + coarse
+LoFTR transformer + dual-softmax mutual-NN top-K + fine refinement) at the
+reference operating point (640x480, coarse 1/8, fine 1/2, window 7 —
+BASELINE.md) on whatever accelerator jax exposes (the TPU chip under axon).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+baseline constant is the published LoFTR timing at the same operating point —
+116 ms/pair on an RTX 2080 Ti (LoFTR paper §4.5) ≈ 8.6 pairs/s — the closest
+public measurement of the reference's architecture-class GPU path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_PAIRS_PER_S = 8.6  # LoFTR @ 640x480 on RTX 2080 Ti (116 ms/pair)
+
+BATCH = 4
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import featurematching_tpu as fm
+    from featurematching_tpu.models import Matcher
+
+    cfg = fm.default_config()
+    model = Matcher(cfg.model)
+
+    rng = np.random.default_rng(0)
+    H, W = 480, 640
+    img0 = jnp.asarray(rng.random((BATCH, H, W, 3)).astype(np.float32))
+    img1 = jnp.asarray(rng.random((BATCH, H, W, 3)).astype(np.float32))
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0, img1)
+
+    @jax.jit
+    def fwd(variables, a, b):
+        out = model.apply(variables, a, b)
+        # the arrays a pipeline consumer needs
+        return out.coarse.mask, out.fine.mkpts0_f, out.fine.mkpts1_f, out.coarse.mconf
+
+    def fetch(res):
+        # NOTE: block_until_ready is a no-op on the axon tunnel platform —
+        # a host fetch of a scalar is the only reliable completion barrier.
+        return float(jnp.sum(res[1].astype(jnp.float32)))
+
+    # warmup/compile (fetch forces completion)
+    for _ in range(WARMUP):
+        fetch(fwd(variables, img0, img1))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        res = fwd(variables, img0, img1)
+    fetch(res)
+    dt = time.perf_counter() - t0
+
+    pairs_per_s = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "matched_pairs_per_s_per_chip",
+                "value": round(pairs_per_s, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_s / REF_PAIRS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
