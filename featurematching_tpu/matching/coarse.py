@@ -132,6 +132,51 @@ def extract_matches(
     return i_ids, j_ids, mask, mconf
 
 
+def extract_matches_from_stats(
+    stats,
+    grid0: Tuple[int, int],
+    grid1: Tuple[int, int],
+    thr: float = 0.2,
+    border_rm: int = 2,
+    max_matches: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Match extraction from fused MatchStats (no [L, S] materialization).
+
+    `stats` is an ops.pallas_dual_softmax.MatchStats. Selection math is
+    identical to extract_matches: a mutual max at (i, j) requires
+    col_argmax[row_argmax[i]] == i, the confidence at the mutual position is
+    row_max[i], and border/threshold gating is per-row/per-column.
+    """
+    B, L = stats.row_max.shape
+    S = stats.col_max.shape[1]
+    h0, w0 = grid0
+    h1, w1 = grid1
+    assert h0 * w0 == L and h1 * w1 == S
+
+    j_star = stats.row_argmax  # [B, L]
+    rows = jnp.arange(L, dtype=j_star.dtype)[None, :]
+    mutual = jnp.take_along_axis(stats.col_argmax, j_star, axis=1) == rows
+
+    ok0 = border_mask_flat(h0, w0, border_rm)[None, :]
+    ok1 = border_mask_flat(h1, w1, border_rm)
+    ok1_j = jnp.take(ok1, j_star)
+
+    valid = mutual & (stats.row_max > thr) & ok0 & ok1_j
+    score = jnp.where(valid, stats.row_max, 0.0)
+
+    k = min(max_matches, L)
+    mconf, i_ids = jax.lax.top_k(score, k)
+    j_ids = jnp.take_along_axis(j_star, i_ids, axis=1)
+    mask = mconf > 0.0
+    if k < max_matches:
+        pad = max_matches - k
+        mconf = jnp.pad(mconf, ((0, 0), (0, pad)))
+        i_ids = jnp.pad(i_ids, ((0, 0), (0, pad)))
+        j_ids = jnp.pad(j_ids, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    return i_ids, j_ids, mask, mconf
+
+
 def ids_to_keypoints(
     ids: jnp.ndarray, wc: int, scale: float
 ) -> jnp.ndarray:
@@ -155,14 +200,33 @@ def coarse_match(
     temperature: float = 0.1,
     max_matches: int = 1024,
     conf: Optional[jnp.ndarray] = None,
-) -> Tuple[CoarseMatches, jnp.ndarray]:
+    impl: str = "auto",
+) -> Tuple[CoarseMatches, Optional[jnp.ndarray]]:
     """Full coarse stage: confidence + fixed-shape mutual-NN selection.
 
     Returns (matches, conf_matrix). Pass a precomputed `conf` to skip the
-    einsum (used when the training loss already materialized it).
+    einsum (used when the training loss already materialized it). When no
+    conf matrix is given or needed, the fused Pallas stats path is used on
+    TPU (`impl='auto'`) and conf_matrix comes back as None.
     """
     if conf is None:
-        conf = dual_softmax_confidence(feat_c0, feat_c1, temperature)
+        from featurematching_tpu.ops.pallas_dual_softmax import (
+            dual_softmax_match_stats,
+        )
+
+        stats = dual_softmax_match_stats(
+            feat_c0, feat_c1, temperature=temperature, impl=impl
+        )
+        i_ids, j_ids, mask, mconf = extract_matches_from_stats(
+            stats, grid0, grid1, thr, border_rm, max_matches
+        )
+        mkpts0_c = ids_to_keypoints(i_ids, grid0[1], img_to_coarse_scale)
+        mkpts1_c = ids_to_keypoints(j_ids, grid1[1], img_to_coarse_scale)
+        matches = CoarseMatches(
+            i_ids=i_ids, j_ids=j_ids, mask=mask, mconf=mconf,
+            mkpts0_c=mkpts0_c, mkpts1_c=mkpts1_c,
+        )
+        return matches, None
     i_ids, j_ids, mask, mconf = extract_matches(
         conf, grid0, grid1, thr, border_rm, max_matches
     )

@@ -141,6 +141,53 @@ class TestExtractMatches:
         np.testing.assert_array_equal(ii, jj)
 
 
+class TestStatsPathEquivalence:
+    def test_stats_extraction_equals_conf_extraction(self, rng):
+        """The fused-stats match path must produce exactly the matches of the
+        materialized-conf path."""
+        from featurematching_tpu.ops.pallas_dual_softmax import (
+            dual_softmax_match_stats,
+        )
+        from featurematching_tpu.matching.coarse import extract_matches_from_stats
+
+        B, h, w, C = 2, 8, 8, 32
+        L = h * w
+        f0 = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+        f1 = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+        conf = dual_softmax_confidence(f0, f1, 0.1)
+        ref = extract_matches(conf, (h, w), (h, w), 0.01, 1, 32)
+        stats = dual_softmax_match_stats(f0, f1, 0.1, impl="xla")
+        got = extract_matches_from_stats(stats, (h, w), (h, w), 0.01, 1, 32)
+        # ids/mask must agree exactly; confidences only to fp32 ulp (the two
+        # paths scale sim by *(1/a) vs /a — last-bit difference)
+        for a, b in zip(ref[:3], got[:3]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(ref[3]), np.asarray(got[3]), rtol=1e-5, atol=1e-8
+        )
+
+    def test_coarse_match_auto_path(self, rng):
+        """coarse_match with conf=None routes through the stats path and
+        agrees with the conf path."""
+        B, h, w, C = 1, 6, 6, 16
+        f = jnp.asarray(rng.standard_normal((B, h * w, C)).astype(np.float32))
+        m_stats, conf_none = coarse_match(
+            f, f, (h, w), (h, w), 8.0, thr=0.01, border_rm=1, max_matches=16
+        )
+        assert conf_none is None
+        conf = dual_softmax_confidence(f, f, 0.1)
+        m_conf, _ = coarse_match(
+            f, f, (h, w), (h, w), 8.0, thr=0.01, border_rm=1, max_matches=16,
+            conf=conf,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_stats.i_ids), np.asarray(m_conf.i_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_stats.mask), np.asarray(m_conf.mask)
+        )
+
+
 class TestFineWindows:
     def np_unfold_gather(self, feat, ids, grid_c, W, stride):
         """Emulate F.unfold(kernel=W, stride=stride, padding=W//2-1) + gather

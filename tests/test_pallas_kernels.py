@@ -1,0 +1,62 @@
+"""Pallas kernel correctness vs jnp references (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from featurematching_tpu.ops.pallas_dual_softmax import (
+    MatchStats,
+    _pallas_forward,
+    _stats_reference,
+    dual_softmax_match_stats,
+)
+
+
+class TestDualSoftmaxStats:
+    @pytest.mark.parametrize("B,L,S,C", [(1, 256, 256, 64), (2, 512, 512, 128)])
+    def test_matches_reference(self, rng, B, L, S, C):
+        f0 = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+        f1 = jnp.asarray(rng.standard_normal((B, S, C)).astype(np.float32))
+        inv_temp = 1.0 / (C * 0.1)
+        ref = _stats_reference(f0, f1, inv_temp)
+        got = _pallas_forward(f0, f1, inv_temp, row_tile=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got.row_max), np.asarray(ref.row_max), rtol=2e-4, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.col_max), np.asarray(ref.col_max), rtol=2e-4, atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.row_argmax), np.asarray(ref.row_argmax)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.col_argmax), np.asarray(ref.col_argmax)
+        )
+
+    def test_col_argmax_crosses_tiles(self, rng):
+        """Best row for some columns must live in a non-first row tile."""
+        B, L, S, C = 1, 256, 128, 32
+        f0 = rng.standard_normal((B, L, C)).astype(np.float32) * 0.1
+        f1 = rng.standard_normal((B, S, C)).astype(np.float32)
+        # plant strong rows in tile 1 (rows 128..255)
+        for j in range(0, S, 7):
+            i = 130 + (j % 100)
+            f0[0, i] = f1[0, j] * 2
+        ref = _stats_reference(jnp.asarray(f0), jnp.asarray(f1), 1.0 / (C * 0.1))
+        got = _pallas_forward(
+            jnp.asarray(f0), jnp.asarray(f1), 1.0 / (C * 0.1), row_tile=128,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.col_argmax), np.asarray(ref.col_argmax)
+        )
+        assert (np.asarray(got.col_argmax) >= 128).any()
+
+    def test_auto_dispatch_cpu_uses_xla(self, rng):
+        f0 = jnp.asarray(rng.standard_normal((1, 64, 32)).astype(np.float32))
+        stats = dual_softmax_match_stats(f0, f0, temperature=0.1, impl="auto")
+        # self-similarity: argmax should be the diagonal
+        np.testing.assert_array_equal(
+            np.asarray(stats.row_argmax[0]), np.arange(64)
+        )

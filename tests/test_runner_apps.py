@@ -1,0 +1,101 @@
+"""End-to-end runner + demo app tests on CPU with tiny configs."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from featurematching_tpu.config import tiny_test_config
+from featurematching_tpu.data.loader import BatchLoader
+from featurematching_tpu.data.synthetic import synthetic_batch
+
+
+class SyntheticPairDataset:
+    """Map-style dataset over pre-generated synthetic samples."""
+
+    def __init__(self, n=8, seed=0, H=64, W=96, G=64):
+        rng = np.random.default_rng(seed)
+        batch = synthetic_batch(rng, batch_size=n, image_size=(H, W), channels=1, num_gt=G)
+        self.samples = [
+            {k: v[i] for k, v in batch.items()} | {"pair_id": np.int32(i)}
+            for i in range(n)
+        ]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+class TestRunner:
+    def test_fit_validate_checkpoint_resume(self, tmp_path):
+        from featurematching_tpu.train.runner import Runner
+
+        cfg = tiny_test_config()
+        cfg = dataclasses.replace(
+            cfg,
+            trainer=dataclasses.replace(
+                cfg.trainer, batch_size=2, steps_per_epoch=4, num_epochs=1,
+                ransac=dataclasses.replace(cfg.trainer.ransac, num_hypotheses=64),
+            ),
+        )
+        train_ds = SyntheticPairDataset(n=4)
+        val_ds = SyntheticPairDataset(n=2, seed=1)
+        tl = BatchLoader(train_ds, 2, process_index=0, process_count=1)
+        vl = BatchLoader(val_ds, 2, shuffle=False, process_index=0, process_count=1)
+        workdir = str(tmp_path / "run")
+
+        runner = Runner(cfg, tl, vl, workdir=workdir)
+        results = runner.fit(num_epochs=1)
+        assert "auc@5" in results and np.isfinite(results["val/loss"])
+        assert runner.ckpt.latest_step() is not None
+
+        # resume path: a fresh runner restores the checkpointed step
+        runner2 = Runner(cfg, tl, vl, workdir=workdir)
+        restored_step = int(jax.device_get(runner2.state.step))
+        assert restored_step == runner.ckpt.latest_step()
+
+        # metrics jsonl written
+        assert os.path.exists(os.path.join(workdir, "logs", "metrics.jsonl"))
+
+
+class TestDemoApp:
+    def test_pair_cli(self, tmp_path, rng):
+        import cv2
+
+        from featurematching_tpu.apps.demo import main
+
+        H, W = 96, 128
+        from tests.test_data import checkerboard_texture
+
+        img = checkerboard_texture(H, W, rng)
+        p0 = str(tmp_path / "a.png")
+        p1 = str(tmp_path / "b.png")
+        cv2.imwrite(p0, img)
+        cv2.imwrite(p1, np.roll(img, 5, axis=1))
+        out = str(tmp_path / "m.png")
+        rc = main(
+            ["pair", p0, p1, "--out", out, "--size", "128", "96", "--thr", "0.0001"]
+        )
+        assert rc == 0
+        assert os.path.exists(out)
+        assert cv2.imread(out) is not None
+
+    def test_stream_dir(self, tmp_path, rng):
+        import cv2
+
+        from featurematching_tpu.apps.demo import VideoStreamer
+
+        d = tmp_path / "frames"
+        d.mkdir()
+        for i in range(4):
+            cv2.imwrite(str(d / f"f{i}.png"), (rng.random((32, 48)) * 255).astype(np.uint8))
+        frames = list(VideoStreamer(str(d), (48, 32), gray=True).frames())
+        assert len(frames) == 4
+        assert frames[0].shape == (32, 48, 1)
+        frames2 = list(VideoStreamer(str(d), (48, 32), gray=True, skip=2).frames())
+        assert len(frames2) == 2
