@@ -184,6 +184,11 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
     f0 = (feat0.astype(jnp.float32) * inv_temp).astype(feat0.dtype)
     f1 = feat1
 
+    # NOTE on output shapes: Mosaic requires the last block dim be /128 or the
+    # full array dim. row_tile (480 for L=4800) is neither, so all per-row
+    # outputs/inputs are shaped [B, n_tiles, row_tile] (last dim = full) and
+    # flattened to [B, L] afterwards in XLA.
+
     # ---- pass 1: row stats + partial col stats
     rowm, rowz, colm_p, colz_p = pl.pallas_call(
         _stats_kernel,
@@ -193,14 +198,14 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
             pl.BlockSpec((None, S, C), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, row_tile), lambda b, i: (b, i)),
-            pl.BlockSpec((None, row_tile), lambda b, i: (b, i)),
+            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, row_tile), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, row_tile), jnp.float32),
             jax.ShapeDtypeStruct((B, n_tiles, S), jnp.float32),
             jax.ShapeDtypeStruct((B, n_tiles, S), jnp.float32),
         ],
@@ -211,8 +216,9 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
     colm = jnp.max(colm_p, axis=1)  # [B, S]
     colz = jnp.sum(colz_p * jnp.exp(colm_p - colm[:, None, :]), axis=1)
 
-    row_stat = jnp.stack([rowm, jnp.log(rowz)], axis=1)  # [B, 2, L]
-    col_stat = jnp.stack([colm, jnp.log(colz)], axis=1)  # [B, 2, S]
+    # [B, n_tiles, 2, row_tile] / [B, 2, S]
+    row_stat = jnp.stack([rowm, jnp.log(rowz)], axis=2)
+    col_stat = jnp.stack([colm, jnp.log(colz)], axis=1)
 
     # ---- pass 2: fused conf reductions
     rowmax, rowarg, colmax_p, colarg_p = pl.pallas_call(
@@ -221,23 +227,25 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
         in_specs=[
             pl.BlockSpec((None, row_tile, C), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, S, C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, 2, row_tile), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((None, None, 2, row_tile), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((None, 2, S), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, row_tile), lambda b, i: (b, i)),
-            pl.BlockSpec((None, row_tile), lambda b, i: (b, i)),
+            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_tiles, row_tile), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, row_tile), jnp.int32),
             jax.ShapeDtypeStruct((B, n_tiles, S), jnp.float32),
             jax.ShapeDtypeStruct((B, n_tiles, S), jnp.int32),
         ],
         interpret=interpret,
     )(f0, f1, row_stat, col_stat)
+    rowmax = rowmax.reshape(B, L)
+    rowarg = rowarg.reshape(B, L)
 
     # combine col argmax across row tiles
     best_tile = jnp.argmax(colmax_p, axis=1)  # [B, S]
