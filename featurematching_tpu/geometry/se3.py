@@ -199,23 +199,41 @@ def _hat(w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _safe_theta(w: jnp.ndarray):
+    """(theta2, theta_safe, small) with NaN-free gradients at w == 0.
+
+    d(sqrt(x))/dx blows up at 0, so the sqrt input is masked where small; the
+    small branch always uses theta2 polynomials (smooth), keeping jacfwd/jacrev
+    of exp/log maps finite at the identity — required by the BA/pose-graph
+    solvers that linearize at xi = 0.
+    """
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]  # [..., 1, 1]
+    # threshold sized for fp32: below theta ~ 1e-2 the (1-cos)/theta^2 family
+    # cancels catastrophically in float32, while the theta2 Taylor series is
+    # accurate to ~1e-10 — so switch early.
+    small = theta2 < 1e-4
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    return theta2, theta, small
+
+
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Exponential map so(3) -> SO(3), Taylor-safe near zero."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [..., 1, 1]
+    """Exponential map so(3) -> SO(3), Taylor- and gradient-safe near zero."""
+    theta2, theta, small = _safe_theta(w)
     W = _hat(w)
     W2 = W @ W
-    theta2 = theta * theta
-    small = theta < 1e-5
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + A * W + B * W2
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Log map SO(3) -> so(3), Taylor-safe near identity."""
-    cos = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos)[..., None]
+    """Log map SO(3) -> so(3), Taylor- and gradient-safe near identity.
+
+    theta comes from atan2(|skew|/2, (tr-1)/2) instead of arccos — arccos'
+    gradient diverges at identity, which would poison the pose-graph GN
+    linearization whenever a residual approaches zero.
+    """
     w_skew = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -224,10 +242,13 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    small = theta < 1e-5
-    factor = jnp.where(
-        small, 0.5 + theta**2 / 12.0, theta / (2.0 * jnp.where(small, 1.0, jnp.sin(theta)))
-    )
+    s2 = jnp.sum(w_skew * w_skew, axis=-1, keepdims=True) / 4.0
+    small = s2 < 1e-8
+    s = jnp.sqrt(jnp.where(small, 1.0, s2))
+    c = (jnp.trace(R, axis1=-2, axis2=-1)[..., None] - 1.0) / 2.0
+    theta = jnp.where(small, 0.0, jnp.arctan2(s, c))
+    # factor = theta / (2 sin theta) ~= 1/2 + theta^2/12; sin(theta) = s
+    factor = jnp.where(small, 0.5 + s2 / 12.0, theta / (2.0 * s))
     return factor * w_skew
 
 
@@ -235,16 +256,14 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """Exponential map se(3) [..., 6] (v, w) -> T [..., 4, 4]."""
     v, w = xi[..., :3], xi[..., 3:]
     R = so3_exp(w)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta2, theta, small = _safe_theta(w)
     W = _hat(w)
     W2 = W @ W
-    theta2 = theta * theta
-    small = theta < 1e-5
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     C = jnp.where(
         small,
         1.0 / 6.0 - theta2 / 120.0,
-        (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta2 * theta),
+        (theta - jnp.sin(theta)) / (theta2 * theta),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
     V = eye + B * W + C * W2
@@ -261,17 +280,16 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     w = so3_log(R)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta2, theta, small = _safe_theta(w)
     W = _hat(w)
     W2 = W @ W
-    small = theta < 1e-5
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
-    A = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    B = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta**2))
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     coef = jnp.where(
         small,
-        1.0 / 12.0 + theta**2 / 720.0,
-        (1.0 - A / (2.0 * B)) / jnp.where(small, 1.0, theta**2),
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - A / (2.0 * B)) / theta2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
     Vinv = eye - 0.5 * W + coef * W2

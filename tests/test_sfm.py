@@ -1,0 +1,169 @@
+"""SfM back-end tests: BA convergence on synthetic scenes, pose-graph
+optimization, padded-observation invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from featurematching_tpu.geometry.se3 import invert_se3, relative_pose_error, se3_exp
+from featurematching_tpu.sfm import (
+    BAProblem,
+    PoseGraph,
+    bundle_adjust,
+    optimize_pose_graph,
+    reprojection_residuals,
+)
+
+
+def synthetic_ba_problem(rng, Nc=4, Np=60, noise=0.0, pose_noise=0.0, pad_obs=0):
+    """Cameras on a small arc looking at a point cloud; full visibility."""
+    points = rng.standard_normal((Np, 3)) * [2.0, 2.0, 1.0] + [0, 0, 8.0]
+    poses = []
+    for c in range(Nc):
+        w = np.array([0.0, 0.02 * c, 0.0])
+        t = np.array([0.3 * c, 0.05 * c, 0.0])
+        T = np.asarray(se3_exp(jnp.asarray(np.concatenate([t, w]), jnp.float32)))
+        poses.append(T)
+    poses = np.stack(poses)
+
+    cam_idx, pt_idx, uvs = [], [], []
+    for c in range(Nc):
+        Xc = points @ poses[c][:3, :3].T + poses[c][:3, 3]
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        cam_idx.extend([c] * Np)
+        pt_idx.extend(range(Np))
+        uvs.append(uv)
+    uv = np.concatenate(uvs) + rng.standard_normal((Nc * Np, 2)) * noise
+    M = len(uv)
+    mask = np.ones(M, bool)
+    if pad_obs:
+        cam_idx = list(cam_idx) + [0] * pad_obs
+        pt_idx = list(pt_idx) + [0] * pad_obs
+        uv = np.concatenate([uv, np.full((pad_obs, 2), 1e3)])
+        mask = np.concatenate([mask, np.zeros(pad_obs, bool)])
+
+    # perturb initial estimates (cameras after the first, all points)
+    init_poses = poses.copy()
+    for c in range(1, Nc):
+        xi = rng.standard_normal(6) * pose_noise
+        init_poses[c] = np.asarray(se3_exp(jnp.asarray(xi, jnp.float32))) @ poses[c]
+    init_points = points + rng.standard_normal(points.shape) * (pose_noise * 2)
+
+    problem = BAProblem(
+        poses=jnp.asarray(init_poses, jnp.float32),
+        points=jnp.asarray(init_points, jnp.float32),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        pt_idx=jnp.asarray(pt_idx, jnp.int32),
+        uv=jnp.asarray(uv, jnp.float32),
+        mask=jnp.asarray(mask),
+    )
+    return problem, poses, points
+
+
+class TestBundleAdjustment:
+    def test_zero_noise_zero_residual(self, rng):
+        problem, poses_gt, points_gt = synthetic_ba_problem(rng, pose_noise=0.0)
+        r = reprojection_residuals(problem.poses, problem.points, problem)
+        assert float(jnp.abs(r).max()) < 1e-5
+
+    def test_converges_from_perturbation(self, rng):
+        problem, poses_gt, points_gt = synthetic_ba_problem(
+            rng, pose_noise=0.03
+        )
+        res = bundle_adjust(problem, iters=15)
+        costs = np.asarray(res.cost_history)
+        assert costs[-1] < costs[0] * 1e-3, f"costs {costs}"
+        # recovered camera poses close to GT
+        for c in range(1, 4):
+            R_err, t_err = relative_pose_error(
+                jnp.asarray(poses_gt[c]), res.poses[c][:3, :3], res.poses[c][:3, 3]
+            )
+            assert float(R_err) < 0.2, f"cam {c} R_err {float(R_err)}"
+            assert float(t_err) < 0.02, f"cam {c} t_err {float(t_err)}"
+
+    def test_padded_observations_no_effect(self, rng):
+        p1, _, _ = synthetic_ba_problem(rng, pose_noise=0.02)
+        rng2 = np.random.default_rng(0)
+        p2, _, _ = synthetic_ba_problem(rng2, pose_noise=0.02, pad_obs=64)
+        r1 = bundle_adjust(p1, iters=5)
+        r2 = bundle_adjust(p2, iters=5)
+        np.testing.assert_allclose(
+            np.asarray(r1.poses), np.asarray(r2.poses), atol=1e-5
+        )
+
+    def test_gauge_fixed_camera_unchanged(self, rng):
+        problem, _, _ = synthetic_ba_problem(rng, pose_noise=0.05)
+        res = bundle_adjust(problem, iters=8)
+        np.testing.assert_allclose(
+            np.asarray(res.poses[0]), np.asarray(problem.poses[0]), atol=1e-6
+        )
+
+    def test_noisy_observations_reasonable(self, rng):
+        problem, poses_gt, _ = synthetic_ba_problem(
+            rng, noise=1e-3, pose_noise=0.03
+        )
+        res = bundle_adjust(problem, iters=15)
+        R_err, t_err = relative_pose_error(
+            jnp.asarray(poses_gt[2]), res.poses[2][:3, :3], res.poses[2][:3, 3]
+        )
+        assert float(R_err) < 0.5
+        assert float(t_err) < 0.05
+
+
+class TestPoseGraph:
+    def make_chain(self, rng, N=6, noise=0.0, drift=0.05):
+        """Chain of poses + loop-closure edge; initial guess has drift."""
+        poses_gt = [np.eye(4, dtype=np.float32)]
+        for i in range(1, N):
+            xi = np.concatenate([[0.5, 0.02 * i, 0], [0, 0.05, 0]])
+            poses_gt.append(
+                np.asarray(se3_exp(jnp.asarray(xi, jnp.float32))) @ poses_gt[-1]
+            )
+        poses_gt = np.stack(poses_gt)
+
+        edges_i, edges_j, Z, w = [], [], [], []
+        for i in range(N - 1):
+            edges_i.append(i)
+            edges_j.append(i + 1)
+            Zij = poses_gt[i + 1] @ np.linalg.inv(poses_gt[i])
+            Z.append(Zij)
+            w.append(1.0)
+        # loop closure 0 -> N-1
+        edges_i.append(0)
+        edges_j.append(N - 1)
+        Z.append(poses_gt[N - 1] @ np.linalg.inv(poses_gt[0]))
+        w.append(1.0)
+
+        init = poses_gt.copy()
+        for i in range(1, N):
+            xi = rng.standard_normal(6) * drift
+            init[i] = np.asarray(se3_exp(jnp.asarray(xi, jnp.float32))) @ init[i]
+
+        graph = PoseGraph(
+            poses=jnp.asarray(init),
+            edge_i=jnp.asarray(edges_i, jnp.int32),
+            edge_j=jnp.asarray(edges_j, jnp.int32),
+            measurements=jnp.asarray(np.stack(Z), jnp.float32),
+            weights=jnp.asarray(w, jnp.float32),
+        )
+        return graph, poses_gt
+
+    def test_chain_with_loop_closure_converges(self, rng):
+        graph, poses_gt = self.make_chain(rng)
+        poses, costs = optimize_pose_graph(graph, iters=12)
+        costs = np.asarray(costs)
+        assert costs[-1] < costs[0] * 1e-4, costs
+        for i in range(1, len(poses_gt)):
+            R_err, t_err = relative_pose_error(
+                jnp.asarray(poses_gt[i]), poses[i][:3, :3], poses[i][:3, 3]
+            )
+            assert float(R_err) < 0.1 and float(t_err) < 0.01
+
+    def test_zero_weight_edge_ignored(self, rng):
+        graph, _ = self.make_chain(rng, drift=0.01)
+        # corrupt the loop closure but zero its weight
+        bad = graph.measurements.at[-1].set(jnp.eye(4))
+        g_bad = graph._replace(measurements=bad, weights=graph.weights.at[-1].set(0.0))
+        poses, costs = optimize_pose_graph(g_bad, iters=8)
+        assert float(costs[-1]) < float(costs[0]) * 1e-2
