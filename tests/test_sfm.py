@@ -167,3 +167,83 @@ class TestPoseGraph:
         g_bad = graph._replace(measurements=bad, weights=graph.weights.at[-1].set(0.0))
         poses, costs = optimize_pose_graph(g_bad, iters=8)
         assert float(costs[-1]) < float(costs[0]) * 1e-2
+
+
+class TestDistributedBA:
+    def test_sharded_matches_single_chip(self, rng):
+        """8-way observation-sharded BA must match the single-chip solver."""
+        from featurematching_tpu.parallel.mesh import make_mesh
+        from featurematching_tpu.sfm.distributed import bundle_adjust_sharded
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh(n_data=8)
+        problem, poses_gt, _ = synthetic_ba_problem(rng, Nc=3, Np=40, pose_noise=0.03)
+        res_single = bundle_adjust(problem, iters=8)
+        res_shard = bundle_adjust_sharded(problem, mesh, iters=8)
+        np.testing.assert_allclose(
+            np.asarray(res_shard.poses), np.asarray(res_single.poses), atol=2e-4
+        )
+        costs = np.asarray(res_shard.cost_history)
+        assert costs[-1] < costs[0] * 1e-2
+
+
+class TestPipeline:
+    def test_two_view_reconstruction(self, rng):
+        from tests.test_geometry import make_two_view_scene
+        from featurematching_tpu.sfm.pipeline import two_view_reconstruction
+
+        T_gt, x0, x1 = make_two_view_scene(rng, 256, noise=1e-4)
+        K = np.eye(3, dtype=np.float32)  # already-normalized coords
+        mask = np.ones(256, bool)
+        T_rel, points, good, n_inl = two_view_reconstruction(
+            jnp.asarray(x0, jnp.float32), jnp.asarray(x1, jnp.float32),
+            jnp.asarray(mask), jnp.asarray(K), jnp.asarray(K),
+            jax.random.PRNGKey(0), pixel_thr=3e-3 * 1.0, num_hypotheses=256,
+        )
+        assert int(n_inl) > 200
+        R_err, _ = relative_pose_error(
+            jnp.asarray(T_gt, jnp.float32), T_rel[:3, :3], T_rel[:3, 3]
+        )
+        assert float(R_err) < 1.0
+        t_gt = T_gt[:3, 3] / np.linalg.norm(T_gt[:3, 3])
+        cos = abs(float(np.dot(np.asarray(T_rel[:3, 3]), t_gt))) / max(
+            float(jnp.linalg.norm(T_rel[:3, 3])), 1e-9
+        )
+        assert cos > 0.98
+
+    def test_sequence_ate(self, rng):
+        """Synthetic odometry with a perfect matcher oracle: ATE after
+        alignment should be small."""
+        from tests.test_geometry import make_viewing_pose
+        from featurematching_tpu.sfm.pipeline import Trajectory, ate_rmse, run_sequence
+
+        # build a camera trajectory and a dense point cloud
+        n_frames = 5
+        poses = [np.eye(4)]
+        for _ in range(n_frames - 1):
+            step = make_viewing_pose(rng, rot_scale=0.05, t_scale=0.3)
+            poses.append(step @ poses[-1])
+        poses = np.stack(poses).astype(np.float32)
+        X = rng.standard_normal((400, 3)) * [3, 3, 2] + [0, 0, 10.0]
+
+        def project(T):
+            Xc = X @ T[:3, :3].T + T[:3, 3]
+            return Xc[:, :2] / Xc[:, 2:3], Xc[:, 2] > 0.5
+
+        def matcher_fn(i0, i1):
+            # frames are just indices; oracle returns projected correspondences
+            p0, v0 = project(poses[i0])
+            p1, v1 = project(poses[i1])
+            m = v0 & v1
+            return p0.astype(np.float32), p1.astype(np.float32), m
+
+        frames = list(range(n_frames))
+        traj = run_sequence(matcher_fn, frames, np.eye(3), pixel_thr=3e-3)
+        assert traj.valid.all()
+        err = ate_rmse(traj.poses, poses)
+        # unit-scale steps vs true scale: alignment has one global scale, and
+        # per-step scale errors remain — accept a loose bound, the real check
+        # is that the trajectory shape is recovered (not degenerate)
+        assert np.isfinite(err)
+        spread = np.linalg.norm(traj.poses[:, :3, 3], axis=1)
+        assert (spread[1:] > 1e-3).all()
