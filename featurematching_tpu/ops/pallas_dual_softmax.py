@@ -75,9 +75,12 @@ def _stats_kernel(f0_ref, f1_ref, rowm_ref, rowz_ref, colm_ref, colz_ref):
     """Row softmax stats for one row-tile + partial col stats.
 
     f0_ref: [TL, C] row-tile; f1_ref: [S, C] full second image.
-    rowm/rowz: [TL] row max / sum-exp.
-    colm/colz: [S] this tile's partial col max / sum-exp(shifted by colm).
+    rowm/rowz: [n_tiles, TL] buffers — this grid step writes row i_tile.
+    colm/colz: [n_tiles, S] per-tile partial col max / shifted sum-exp.
+    (Outputs carry the full n_tiles axis because Mosaic requires the last two
+    block dims be /8-/128 or full-size — a squeezed tile axis is neither.)
     """
+    i = pl.program_id(1)
     sim = jax.lax.dot_general(
         f0_ref[...],
         f1_ref[...],
@@ -85,11 +88,11 @@ def _stats_kernel(f0_ref, f1_ref, rowm_ref, rowz_ref, colm_ref, colz_ref):
         preferred_element_type=jnp.float32,
     )  # [TL, S]
     row_m = jnp.max(sim, axis=1)
-    rowm_ref[...] = row_m
-    rowz_ref[...] = jnp.sum(jnp.exp(sim - row_m[:, None]), axis=1)
+    rowm_ref[i, :] = row_m
+    rowz_ref[i, :] = jnp.sum(jnp.exp(sim - row_m[:, None]), axis=1)
     col_m = jnp.max(sim, axis=0)
-    colm_ref[...] = col_m
-    colz_ref[...] = jnp.sum(jnp.exp(sim - col_m[None, :]), axis=0)
+    colm_ref[i, :] = col_m
+    colz_ref[i, :] = jnp.sum(jnp.exp(sim - col_m[None, :]), axis=0)
 
 
 def _conf_kernel(
@@ -98,12 +101,12 @@ def _conf_kernel(
 ):
     """Fused conf reduction for one row-tile.
 
-    rowstat_ref: [2, TL] (log-denominator row: m_r + log Z_r  packed as
-      [m_r; logZ_r]); colstat_ref: [2, S] likewise for columns.
-    Outputs: row max/argmax [TL], partial col max/argmax [S] for this tile.
+    rowstat_ref: [n_tiles, 2, TL] ([m_r; logZ_r] per tile); colstat_ref:
+    [2, S]. Outputs indexed at row i_tile: rowmax/rowarg [n_tiles, TL],
+    colmax/colarg [n_tiles, S] (per-tile partials).
     """
     i_tile = pl.program_id(1)
-    TL = rowmax_ref.shape[0]
+    TL = rowmax_ref.shape[1]
 
     sim = jax.lax.dot_general(
         f0_ref[...],
@@ -111,8 +114,8 @@ def _conf_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TL, S]
-    m_r = rowstat_ref[0, :]
-    logz_r = rowstat_ref[1, :]
+    m_r = rowstat_ref[i_tile, 0, :]
+    logz_r = rowstat_ref[i_tile, 1, :]
     m_c = colstat_ref[0, :]
     logz_c = colstat_ref[1, :]
     # log conf = 2*sim - (m_r + logZ_r) - (m_c + logZ_c)
@@ -123,11 +126,11 @@ def _conf_kernel(
     )
     conf = jnp.exp(logconf)
 
-    rowmax_ref[...] = jnp.max(conf, axis=1)
-    rowarg_ref[...] = jnp.argmax(conf, axis=1).astype(jnp.int32)
-    colmax_ref[...] = jnp.max(conf, axis=0)
+    rowmax_ref[i_tile, :] = jnp.max(conf, axis=1)
+    rowarg_ref[i_tile, :] = jnp.argmax(conf, axis=1).astype(jnp.int32)
+    colmax_ref[i_tile, :] = jnp.max(conf, axis=0)
     # col argmax is local to this row-tile; shift to global row ids
-    colarg_ref[...] = jnp.argmax(conf, axis=0).astype(jnp.int32) + i_tile * TL
+    colarg_ref[i_tile, :] = jnp.argmax(conf, axis=0).astype(jnp.int32) + i_tile * TL
 
 
 try:  # import guarded so CPU-only environments can still import the module
@@ -198,10 +201,10 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
             pl.BlockSpec((None, S, C), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, n_tiles, row_tile), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n_tiles, row_tile), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n_tiles, S), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n_tiles, S), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_tiles, row_tile), jnp.float32),
@@ -227,14 +230,14 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
         in_specs=[
             pl.BlockSpec((None, row_tile, C), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, S, C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, None, 2, row_tile), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((None, n_tiles, 2, row_tile), lambda b, i: (b, 0, 0, 0)),
             pl.BlockSpec((None, 2, S), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, None, row_tile), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, None, S), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, n_tiles, row_tile), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n_tiles, row_tile), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n_tiles, S), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n_tiles, S), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_tiles, row_tile), jnp.float32),

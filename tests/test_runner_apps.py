@@ -99,3 +99,35 @@ class TestDemoApp:
         assert frames[0].shape == (32, 48, 1)
         frames2 = list(VideoStreamer(str(d), (48, 32), gray=True, skip=2).frames())
         assert len(frames2) == 2
+
+
+class TestEvaluateApp:
+    def test_synthetic_eval_cli(self, tmp_path):
+        from featurematching_tpu.apps.evaluate import main
+
+        out = str(tmp_path / "metrics.json")
+        rc = main(
+            ["synthetic", "--limit", "4", "--size", "96", "64", "--batch",
+             "2", "--gray", "--out", out]
+        )
+        assert rc == 0
+        import json
+
+        with open(out) as f:
+            res = json.load(f)
+        assert "auc@5" in res and "prec@5e-04" in res
+        assert all(np.isfinite(v) for v in res.values())
+
+
+class TestCollectives:
+    def test_single_host_paths(self):
+        from featurematching_tpu.parallel import collectives as cc
+
+        assert cc.world_size() == 1 and cc.rank() == 0
+        cc.synchronize()  # no-op
+        red = cc.reduce_scalars({"a": 2.0, "b": 4.0})
+        assert red == {"a": 2.0, "b": 4.0}
+        g = cc.gather_metric_lists({"x": [1, 2, 3]})
+        assert g["x"] == [1, 2, 3]
+        s = cc.shared_random_seed()
+        assert isinstance(s, int)
