@@ -28,7 +28,20 @@ ITERS = 10
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache — first Mosaic/XLA compiles over the tunnel
+    # take minutes; cached reruns are seconds
+    cache_dir = os.path.expanduser("~/.cache/fmtpu_jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import featurematching_tpu as fm

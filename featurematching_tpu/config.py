@@ -141,6 +141,9 @@ class ModelConfig:
     loss: LossConfig = field(default_factory=LossConfig)
     # compute dtype for matmul-heavy paths ('bfloat16' on TPU, 'float32' for tests)
     compute_dtype: str = "bfloat16"
+    # coarse-only matcher (no fine refinement) — the LoFTR-tiny mode used by
+    # the reference as a frozen teacher (network/module/loftr_tiny.py)
+    coarse_only: bool = False
 
 
 @_frozen

@@ -37,6 +37,7 @@ from featurematching_tpu.matching.fine import (
     fine_soft_argmax,
     gather_fine_windows,
 )
+
 from featurematching_tpu.models.backbone_resnet_fpn import ResNetFPN
 from featurematching_tpu.models.backbone_swin import SwinUNet
 from featurematching_tpu.models.pose_head import PosePredNew, PosePredOld
@@ -178,6 +179,24 @@ class Matcher(nn.Module):
             conf_out = None
         else:
             conf_out = conf
+
+        # coarse-only (LoFTR-tiny teacher mode, loftr_tiny.py:107-242): skip
+        # fine refinement; "fine" keypoints are the coarse centers, std = 0
+        if cfg.coarse_only:
+            zeros = jnp.zeros_like(matches.mkpts0_c[..., :1])
+            fine = FineMatches(
+                mkpts0_f=jnp.concatenate([matches.mkpts0_c, zeros], -1),
+                mkpts1_f=jnp.concatenate([matches.mkpts1_c, zeros], -1),
+                coords0=jnp.zeros_like(matches.mkpts0_c),
+                coords1=jnp.zeros_like(matches.mkpts1_c),
+                std0=zeros[..., 0],
+                std1=zeros[..., 0],
+            )
+            return MatcherOutput(
+                coarse=matches, fine=fine, conf_matrix=conf_out,
+                feat_c0=feat_c0, feat_c1=feat_c1,
+                fine_ids=(matches.i_ids, matches.j_ids, matches.mask),
+            )
 
         # 4. choose fine-stage ids (train: GT supervision ids)
         if train and gt_ids is not None:

@@ -131,3 +131,73 @@ class TestCollectives:
         assert g["x"] == [1, 2, 3]
         s = cc.shared_random_seed()
         assert isinstance(s, int)
+
+
+class TestBuildCacheApp:
+    def test_sift_matches_native_pipeline(self, tmp_path, rng):
+        from tests.test_data import write_scared_fixture
+        from featurematching_tpu.apps.build_cache import main
+
+        root = str(tmp_path / "d" / "k")
+        write_scared_fixture(root)  # has images + frame_data (and caches)
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "keypoints"))
+        shutil.rmtree(os.path.join(root, "matches"))
+        assert main(["sift", root, "--layout", "scared"]) == 0
+        assert main(["matches", root, "--layout", "scared", "--gaps", "1"]) == 0
+        assert len(os.listdir(os.path.join(root, "keypoints"))) == 6
+        assert len(os.listdir(os.path.join(root, "matches"))) == 5
+        out = str(tmp_path / "train.fmtp")
+        assert main(["native", root, out, "--layout", "scared",
+                     "--size", "128", "96", "--num-gt", "32"]) == 0
+        from featurematching_tpu.data.native_cache import NativeBatchLoader
+
+        if NativeBatchLoader.available():
+            loader = NativeBatchLoader(out, batch_size=2)
+            batch = next(iter(loader.epoch(0)))
+            assert batch["image0"].shape == (2, 96, 128, 3)
+            loader.close()
+
+
+class TestToolkitCli:
+    def test_evaluate_subcommand(self, tmp_path, rng):
+        from featurematching_tpu.apps.scared_toolkit_cli import main
+        from featurematching_tpu.toolkit import io as tio
+
+        ref_d = tmp_path / "ref"
+        comp_d = tmp_path / "comp"
+        ref_d.mkdir()
+        comp_d.mkdir()
+        for i in range(3):
+            ref = np.full((16, 16), 20.0)
+            comp = ref + 1.0
+            tio.save_subpix_png(ref_d / f"{i}.png", ref)
+            tio.save_subpix_png(comp_d / f"{i}.png", comp)
+        rc = main(["evaluate", str(ref_d), str(comp_d), "--kind", "disparity"])
+        assert rc == 0
+
+
+class TestCoarseOnly:
+    def test_coarse_only_matcher(self):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from featurematching_tpu.config import tiny_test_config
+        from featurematching_tpu.models import Matcher
+
+        cfg = tiny_test_config()
+        mcfg = dataclasses.replace(cfg.model, coarse_only=True)
+        model = Matcher(mcfg)
+        rng_l = np.random.default_rng(0)
+        img = jnp.asarray(rng_l.random((1, 64, 64, 1)).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), img, img)
+        out = model.apply(v, img, img)
+        # fine == coarse centers with zero std
+        np.testing.assert_allclose(
+            np.asarray(out.fine.mkpts0_f[..., :2]),
+            np.asarray(out.coarse.mkpts0_c),
+        )
+        assert float(np.abs(np.asarray(out.fine.mkpts0_f[..., 2])).max()) == 0
+        # no fine-transformer params created
+        assert "fine_transformer" not in v["params"]
