@@ -46,6 +46,8 @@ class SwinConfig:
     qkv_bias: bool = True
     drop_path_rate: float = 0.2
     patch_norm: bool = True
+    # fused Pallas window attention: 'auto' (TPU inference), 'on', 'off'
+    fused_attention: str = "auto"
 
 
 @_frozen

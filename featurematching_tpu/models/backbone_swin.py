@@ -65,6 +65,18 @@ def _shift_attn_mask(Hp: int, Wp: int, w: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def _rel_pos_bias_from_table(table: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
+    """[(2w-1)^2, h] learned table -> [h, N, N] additive bias (N = w*w)."""
+    N = w * w
+    coords = np.stack(
+        np.meshgrid(np.arange(w), np.arange(w), indexing="ij"), 0
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # [2, N, N]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    rel_idx = (rel[..., 0] * (2 * w - 1) + rel[..., 1]).reshape(-1)  # [N*N]
+    return table[rel_idx].reshape(N, N, h).transpose(2, 0, 1)
+
+
 def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
     """Stochastic depth on the batch axis (timm DropPath semantics)."""
     if deterministic or rate == 0.0:
@@ -76,13 +88,19 @@ def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndar
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with learned relative position bias (swin_...py:70-148)."""
+    """W-MSA with learned relative position bias (swin_...py:70-148).
+
+    `use_fused` routes through the Pallas fused kernel
+    (ops/pallas_window_attention) — forward-only (no VJP), so callers enable
+    it for inference paths on TPU.
+    """
 
     dim: int
     window: int
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -91,6 +109,27 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         head_dim = C // h
         scale = head_dim**-0.5
+
+        if self.use_fused:
+            # heads packed per-head-contiguous in C for the fused kernel
+            qkv_p = nn.Dense(
+                3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+            )(x)
+            from featurematching_tpu.ops.pallas_window_attention import (
+                window_attention_pallas,
+            )
+
+            # Dense packs 3C as [q|k|v] blocks with heads d-contiguous within
+            # each — exactly the fused kernel's expected layout.
+            w = self.window
+            table = self.param(
+                "rel_pos_bias",
+                nn.initializers.truncated_normal(0.02),
+                ((2 * w - 1) * (2 * w - 1), h),
+            )
+            bias = _rel_pos_bias_from_table(table, w, h)
+            out = window_attention_pallas(qkv_p, bias, mask, h, scale, chunk=16)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B_, N, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
@@ -107,13 +146,7 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * w - 1) * (2 * w - 1), h),
         )
-        coords = np.stack(
-            np.meshgrid(np.arange(w), np.arange(w), indexing="ij"), 0
-        ).reshape(2, -1)
-        rel = coords[:, :, None] - coords[:, None, :]  # [2, N, N]
-        rel = rel.transpose(1, 2, 0) + (w - 1)
-        rel_idx = (rel[..., 0] * (2 * w - 1) + rel[..., 1]).reshape(-1)  # [N*N]
-        bias = table[rel_idx].reshape(N, N, h).transpose(2, 0, 1)  # [h, N, N]
+        bias = _rel_pos_bias_from_table(table, w, h)
         attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:
@@ -142,6 +175,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, H: int, W: int, deterministic: bool = True):
@@ -166,7 +200,8 @@ class SwinBlock(nn.Module):
 
         windows = window_partition(x, w)  # [B*nW, w*w, C]
         attn_out = WindowAttention(
-            self.dim, w, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+            self.dim, w, self.num_heads, self.qkv_bias, self.dtype,
+            use_fused=self.use_fused and deterministic, name="attn"
         )(windows, mask)
         x = window_reverse(attn_out, w, Hp, Wp)
 
@@ -245,6 +280,7 @@ class SwinUNet(nn.Module):
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -278,6 +314,7 @@ class SwinUNet(nn.Module):
                     qkv_bias=self.qkv_bias,
                     drop_path_rate=float(dpr[sum(self.depths[:i]) + b]),
                     dtype=self.dtype,
+                    use_fused=self.fused_attention,
                     name=f"enc{i}_blk{b}",
                 )(x, Wh, Ww, deterministic)
             if i < n_stages - 1:
@@ -306,6 +343,7 @@ class SwinUNet(nn.Module):
                     qkv_bias=self.qkv_bias,
                     drop_path_rate=float(dp_slice[b] if b < len(dp_slice) else 0.0),
                     dtype=self.dtype,
+                    use_fused=self.fused_attention,
                     name=f"dec{j}_blk{b}",
                 )(x, Wh, Ww, deterministic)
             scale = 2 if j < n_up - 1 else 4

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,6 +119,10 @@ class Matcher(nn.Module):
         imgs = jnp.concatenate([image0, image1], axis=0).astype(dtype)
         if cfg.backbone_type == "swin_v1":
             s = cfg.swin
+            if s.fused_attention == "auto":
+                fused = (not train) and jax.default_backend() not in ("cpu",)
+            else:
+                fused = s.fused_attention == "on"
             feat_c, feat_f = SwinUNet(
                 in_channels=cfg.input_channels,
                 patch_size=s.patch_size,
@@ -131,6 +136,7 @@ class Matcher(nn.Module):
                 drop_path_rate=s.drop_path_rate,
                 patch_norm=s.patch_norm,
                 dtype=dtype,
+                fused_attention=fused,
                 name="backbone",
             )(imgs, train=train)
         elif cfg.backbone_type == "resnet_fpn":

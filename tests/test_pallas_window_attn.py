@@ -59,3 +59,38 @@ class TestWindowAttention:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.05
         )
+
+
+class TestFusedInModel:
+    def test_swin_fused_equals_xla(self, rng):
+        """SwinUNet with fused_attention on (interpret via CPU is not
+        possible for real pallas, so compare the module-level paths with
+        use_fused toggled under interpret mode at the WindowAttention level).
+        Here: verify the 'on' config threads without error on CPU by
+        monkeypatching the kernel to interpret mode."""
+        import functools
+        import featurematching_tpu.ops.pallas_window_attention as pw
+
+        orig = pw.window_attention_pallas
+        try:
+            pw.window_attention_pallas = functools.partial(orig, interpret=True)
+            from featurematching_tpu.models.backbone_swin import SwinUNet
+
+            x = jnp.asarray(rng.standard_normal((1, 32, 32, 1)).astype(np.float32))
+            m_ref = SwinUNet(in_channels=1, embed_dim=8, depths=(1, 1, 1),
+                             depths_up=(1, 1, 1), num_heads=(2, 2, 2), window=4,
+                             fused_attention=False)
+            m_fused = SwinUNet(in_channels=1, embed_dim=8, depths=(1, 1, 1),
+                               depths_up=(1, 1, 1), num_heads=(2, 2, 2), window=4,
+                               fused_attention=True)
+            v = m_ref.init(jax.random.PRNGKey(0), x)
+            c_ref, f_ref = m_ref.apply(v, x)
+            c_fus, f_fus = m_fused.apply(v, x)  # same params (same names)
+            np.testing.assert_allclose(
+                np.asarray(c_fus), np.asarray(c_ref), rtol=1e-4, atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(f_fus), np.asarray(f_ref), rtol=1e-4, atol=1e-4
+            )
+        finally:
+            pw.window_attention_pallas = orig
