@@ -117,6 +117,31 @@ def _forward_with_loss(
 
     fid_i, fid_j, fid_mask = out.fine_ids
     gt0, gt1 = compute_supervision_fine(sup.fine_mtx_0, sup.fine_mtx_1, fid_i, fid_j)
+
+    # pose loss/metric when a pose head is enabled; mirrors loss.py:144-170
+    # ('old' -> metric only; 'new' -> quat+trans loss, also NOT added to the
+    # total, matching the reference's commented-out accumulation at :169)
+    loss_pose = None
+    flag = cfg.model.pose.flag
+    if flag == "new" and out.quat_pred is not None:
+        from featurematching_tpu.geometry.se3 import matrix_to_quat
+        from featurematching_tpu.losses.loss import compute_pose_loss_new
+
+        q01 = matrix_to_quat(batch["T_0to1"][:, :3, :3])
+        q10 = matrix_to_quat(batch["T_1to0"][:, :3, :3])
+        loss_pose = compute_pose_loss_new(
+            out.quat_pred, out.trans_pred, q01, q10,
+            batch["T_0to1"][:, :3, 3], batch["T_1to0"][:, :3, 3],
+            cfg.model.loss,
+        )
+    elif flag == "old" and out.T_0to1_pred is not None:
+        from featurematching_tpu.losses.loss import compute_pose_metric_old
+
+        loss_pose = compute_pose_metric_old(
+            batch["T_0to1"], batch["T_1to0"],
+            out.T_0to1_pred, out.T_1to0_pred, cfg.model.loss,
+        )
+
     losses = total_loss(
         out.conf_matrix,
         sup.conf_matrix_gt,
@@ -127,6 +152,7 @@ def _forward_with_loss(
         fid_mask,
         cfg.model.loss,
         window=cfg.model.fine.window_size,
+        loss_pose=loss_pose,
     )
     return losses, out, mutated.get("batch_stats", batch_stats)
 

@@ -195,3 +195,37 @@ class TestTrainStep:
         np.testing.assert_allclose(
             float(metrics["loss"]), float(metrics_r["loss"]), rtol=1e-4
         )
+
+
+class TestPoseHeadTraining:
+    def test_train_step_with_pose_head(self, rng):
+        """Training with the quaternion pose head: pose loss recorded (not
+        added to total, matching reference loss.py:169)."""
+        cfg = tiny_test_config()
+        pose_cfg = dataclasses.replace(
+            cfg.model.pose, flag="new", d_model=16, nhead=2,
+            layer_names_new=("cross", "cross"),
+        )
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, pose=pose_cfg))
+        batch = tiny_batch(rng)
+        tx = build_optimizer(cfg.trainer.optimizer, 2, 100)
+        model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0), batch)
+        step = jax.jit(make_train_step(model, cfg))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_old_pose_head_metric(self, rng):
+        cfg = tiny_test_config()
+        pose_cfg = dataclasses.replace(
+            cfg.model.pose, flag="old", d_model=16, nhead=2,
+            layer_names_old=("self", "cross"),
+        )
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, pose=pose_cfg))
+        batch = tiny_batch(rng)
+        tx = build_optimizer(cfg.trainer.optimizer, 2, 100)
+        model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0), batch)
+        from featurematching_tpu.train.step import make_eval_step
+        ev = jax.jit(make_eval_step(model, cfg))
+        out, losses = ev(state, batch)
+        assert out.T_0to1_pred is not None
+        assert np.isfinite(float(losses.loss_pose))
