@@ -16,10 +16,25 @@ import jax.numpy as jnp
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear x2 with align_corners=True (matches F.interpolate at
-    resnet_fpn.py:113,117)."""
+    """Bilinear x2 with align_corners=True — matches F.interpolate at
+    resnet_fpn.py:113,117 exactly (jax.image.resize only offers half-pixel
+    sampling, so the gather+lerp is written out)."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+    Ho, Wo = 2 * H, 2 * W
+
+    def axis_coords(n_in, n_out):
+        if n_in == 1:
+            return jnp.zeros((n_out,)), jnp.zeros((n_out,), jnp.int32), jnp.zeros((n_out,), jnp.int32)
+        src = jnp.arange(n_out) * (n_in - 1) / (n_out - 1)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        return (src - lo).astype(x.dtype), lo, hi
+
+    wy, y0, y1 = axis_coords(H, Ho)
+    wx, x0, x1 = axis_coords(W, Wo)
+    top = x[:, y0][:, :, x0] * (1 - wx)[None, None, :, None] + x[:, y0][:, :, x1] * wx[None, None, :, None]
+    bot = x[:, y1][:, :, x0] * (1 - wx)[None, None, :, None] + x[:, y1][:, :, x1] * wx[None, None, :, None]
+    return top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
 
 
 class BasicBlock(nn.Module):
@@ -32,7 +47,9 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = lambda k, s, name: nn.Conv(  # noqa: E731
-            self.planes, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            # explicit torch-symmetric padding: SAME != torch for stride 2
+            self.planes, (k, k), strides=(s, s),
+            padding=((k // 2, k // 2), (k // 2, k // 2)), use_bias=False,
             dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(  # noqa: E731
@@ -63,7 +80,8 @@ class ResNetFPN(nn.Module):
         )
         # stem: 7x7 stride 2
         x0 = nn.Conv(
-            self.initial_dim, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+            self.initial_dim, (7, 7), strides=(2, 2),
+            padding=((3, 3), (3, 3)), use_bias=False,
             dtype=self.dtype, name="conv1",
         )(x)
         x0 = nn.relu(bn("bn1")(x0))

@@ -216,7 +216,7 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch GELU is exact
         y = nn.Dense(C, dtype=self.dtype, name="mlp2")(y)
         rng2 = self.make_rng("droppath") if not deterministic and self.drop_path_rate > 0 else None
         return x + drop_path(y, self.drop_path_rate, deterministic, rng2)
