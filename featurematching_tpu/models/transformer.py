@@ -16,7 +16,12 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from featurematching_tpu.ops.attention import full_attention, linear_attention
+from featurematching_tpu.ops.attention import (
+    _PACKED_MAX_LEN,
+    full_attention,
+    linear_attention,
+    linear_attention_packed,
+)
 
 
 class EncoderLayer(nn.Module):
@@ -39,7 +44,13 @@ class EncoderLayer(nn.Module):
         key = dense("k_proj")(source).reshape(bs, -1, self.nhead, dim)
         value = dense("v_proj")(source).reshape(bs, -1, self.nhead, dim)
 
-        attn_fn = linear_attention if self.attention == "linear" else full_attention
+        if self.attention == "linear":
+            # short sequences (fine windows) use the head-packed form — same
+            # math, ~5x fewer MXU passes at N ~ 49
+            short = x.shape[1] <= _PACKED_MAX_LEN and source.shape[1] <= _PACKED_MAX_LEN
+            attn_fn = linear_attention_packed if short else linear_attention
+        else:
+            attn_fn = full_attention
         message = attn_fn(query, key, value, q_mask=x_mask, kv_mask=source_mask)
         message = dense("merge")(message.reshape(bs, -1, self.nhead * dim))
         message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)

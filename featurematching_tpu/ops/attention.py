@@ -61,6 +61,64 @@ def linear_attention(
     return out.astype(q.dtype)
 
 
+def linear_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: jnp.ndarray | None = None,
+    kv_mask: jnp.ndarray | None = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Head-packed linear attention for SHORT sequences (fine windows).
+
+    With per-head dims of ~8 the standard per-head einsums become thousands of
+    tiny MXU passes. Packing all heads into full-channel matmuls computes an
+    8x-redundant [C, C] cross-head product in ONE pass and reads only the
+    block-diagonal — a large net win when pass-rate-bound (N ~ 49, C = 64):
+
+        KV_full = K'^T V'            [C, C]   (1 pass; need diag h-blocks)
+        Z       = Q' (K_sum ⊙ head) [*, h]   (1 pass)
+        out     = Q' blockdiag(KV)  [*, C]   (1 pass)
+
+    Numerically identical to linear_attention (same contractions, fp32 accum).
+    """
+    B, L, H, D = q.shape
+    S = k.shape[1]
+    C = H * D
+    Q = elu_feature_map(q).reshape(B, L, C).astype(jnp.float32)
+    K = elu_feature_map(k)
+    if q_mask is not None:
+        Q = Q * q_mask[:, :, None].astype(Q.dtype)
+    if kv_mask is not None:
+        K = K * kv_mask[:, :, None, None].astype(K.dtype)
+        v = v * kv_mask[:, :, None, None].astype(v.dtype)
+    K = K.reshape(B, S, C).astype(jnp.float32)
+    V = (v / S).reshape(B, S, C).astype(jnp.float32)
+
+    # [B, C, C] cross-head products; keep only the 8 diagonal [D, D] blocks
+    KV_full = jnp.einsum("bsc,bsd->bcd", K, V, preferred_element_type=jnp.float32)
+    head_of = jnp.arange(C) // D
+    blockmask = (head_of[:, None] == head_of[None, :]).astype(KV_full.dtype)
+    KV_bd = KV_full * blockmask[None]
+
+    K_sum = jnp.sum(K, axis=1)  # [B, C]
+    # Z[l, h] = sum_d Q[l, h*D+d] * K_sum[h*D+d]
+    onehot = jax.nn.one_hot(head_of, H, dtype=jnp.float32)  # [C, H]
+    Z = 1.0 / (
+        jnp.einsum("blc,bc,ch->blh", Q, K_sum, onehot) + eps
+    )  # [B, L, H]
+
+    out = jnp.einsum(
+        "blc,bcd->bld", Q, KV_bd, preferred_element_type=jnp.float32
+    )  # [B, L, C]
+    out = out.reshape(B, L, H, D) * Z[..., None] * S
+    return out.astype(q.dtype)
+
+
+# sequences at or below this length route to the packed variant
+_PACKED_MAX_LEN = 256
+
+
 def full_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -276,3 +276,35 @@ class TestSoftArgmax:
             np.asarray(out.mkpts0_f)[..., :2], np.full((B, K, 2), W // 2), atol=0.5
         )
         assert out.mkpts0_f.shape == (B, K, 3)
+
+
+class TestPackedLinearAttention:
+    def test_equals_standard(self, rng):
+        from featurematching_tpu.ops.attention import (
+            linear_attention,
+            linear_attention_packed,
+        )
+
+        B, L, S, H, D = 3, 49, 49, 8, 8
+        q = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        a = linear_attention(q, k, v)
+        b = linear_attention_packed(q, k, v)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_equals_standard_with_masks(self, rng):
+        from featurematching_tpu.ops.attention import (
+            linear_attention,
+            linear_attention_packed,
+        )
+
+        B, L, S, H, D = 2, 16, 20, 4, 8
+        q = jnp.asarray(rng.standard_normal((B, L, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        qm = jnp.asarray(rng.random((B, L)) < 0.8)
+        km = jnp.asarray(rng.random((B, S)) < 0.8)
+        a = linear_attention(q, k, v, qm, km)
+        b = linear_attention_packed(q, k, v, qm, km)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
