@@ -56,30 +56,34 @@ def gather_fine_windows(
       [B, K, W*W, C] window features, zero outside the image (matches the
       reference's zero-padded unfold).
 
-    Implementation: a per-tap scattered gather reads K*W*W non-contiguous
-    C-vectors (slow on TPU). Instead the whole map is unfolded ONCE into
-    contiguous per-cell patch rows (sequential HBM writes via
-    conv_general_dilated_patches), then the match gather is K contiguous
-    row reads of W*W*C each.
+    Implementation note: a full-map unfold (conv_general_dilated_patches) +
+    contiguous row gather was benchmarked at 10.3 ms vs 6.5 ms for this direct
+    per-tap gather on TPU v5e — the unfold writes W*W copies of the map and
+    loses; the direct gather stays.
     """
     B, Hf, Wf, C = feat_f.shape
     hc, wc = grid_c
-    pad = -window_center_offset(window, stride)
+    K = ids.shape[1]
+    off = window_center_offset(window, stride)
 
-    # [B, hc, wc, C*W*W] patches; feature order = (C, wy, wx) per lax docs
-    patches = jax.lax.conv_general_dilated_patches(
-        feat_f,
-        filter_shape=(window, window),
-        window_strides=(stride, stride),
-        padding=((pad, window - stride - pad), (pad, window - stride - pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    assert patches.shape[1] == hc and patches.shape[2] == wc, patches.shape
-    patches = patches.reshape(B, hc * wc, C, window * window)
-    patches = jnp.swapaxes(patches, -1, -2)  # [B, L, WW, C]
-    patches = patches.reshape(B, hc * wc, window * window * C)
-    out = jnp.take_along_axis(patches, ids[..., None].astype(jnp.int32), axis=1)
-    return out.reshape(B, ids.shape[1], window * window, C)
+    cell_y = (ids // wc).astype(jnp.int32)  # [B, K]
+    cell_x = (ids % wc).astype(jnp.int32)
+    y0 = cell_y * stride + off  # top-left tap, may be negative
+    x0 = cell_x * stride + off
+
+    dy = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
+    dx = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
+    ys = y0[:, :, None, None] + dy[None, None]  # [B, K, W, W]
+    xs = x0[:, :, None, None] + dx[None, None]
+    inb = (ys >= 0) & (ys < Hf) & (xs >= 0) & (xs < Wf)
+    ys_c = jnp.clip(ys, 0, Hf - 1)
+    xs_c = jnp.clip(xs, 0, Wf - 1)
+
+    flat = feat_f.reshape(B, Hf * Wf, C)
+    lin = (ys_c * Wf + xs_c).reshape(B, K * window * window)  # [B, KWW]
+    gathered = jnp.take_along_axis(flat, lin[..., None], axis=1)  # [B, KWW, C]
+    gathered = gathered.reshape(B, K, window * window, C)
+    return gathered * inb.reshape(B, K, window * window, 1).astype(gathered.dtype)
 
 
 def normalized_grid(window: int, dtype=jnp.float32) -> jnp.ndarray:
