@@ -62,6 +62,60 @@ class BasicBlock(nn.Module):
         return nn.relu(x + y)
 
 
+class ResNetFPN_16_4(nn.Module):
+    """1/16 coarse + 1/4 fine variant (reference ResNetFPN_16_4,
+    resnet_fpn.py:123-201): four stages, top-down FPN stops at 1/4."""
+
+    initial_dim: int = 128
+    block_dims: Sequence[int] = (128, 196, 256, 512)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        d0, d1, d2, d3 = self.block_dims
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+        )
+        x0 = nn.Conv(
+            self.initial_dim, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x0 = nn.relu(bn("bn1")(x0))
+
+        def stage(y, dim, stride, name):
+            y = BasicBlock(dim, stride, self.dtype, name=f"{name}_0")(y, train)
+            y = BasicBlock(dim, 1, self.dtype, name=f"{name}_1")(y, train)
+            return y
+
+        x1 = stage(x0, d0, 1, "layer1")  # 1/2
+        x2 = stage(x1, d1, 2, "layer2")  # 1/4
+        x3 = stage(x2, d2, 2, "layer3")  # 1/8
+        x4 = stage(x3, d3, 2, "layer4")  # 1/16
+
+        conv1x1 = lambda dim, name: nn.Conv(  # noqa: E731
+            dim, (1, 1), use_bias=False, dtype=self.dtype, name=name
+        )
+        conv3x3 = lambda dim, name: nn.Conv(  # noqa: E731
+            dim, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name=name
+        )
+
+        x4_out = conv1x1(d3, "layer4_outconv")(x4)
+
+        x3_out = conv1x1(d3, "layer3_outconv")(x3)
+        y = x3_out + _upsample2x(x4_out)
+        y = conv3x3(d3, "layer3_outconv2_a")(y)
+        y = nn.leaky_relu(bn("layer3_bn")(y), 0.01)
+        x3_out = conv3x3(d2, "layer3_outconv2_b")(y)
+
+        x2_out = conv1x1(d2, "layer2_outconv")(x2)
+        y = x2_out + _upsample2x(x3_out)
+        y = conv3x3(d2, "layer2_outconv2_a")(y)
+        y = nn.leaky_relu(bn("layer2_bn")(y), 0.01)
+        x2_out = conv3x3(d1, "layer2_outconv2_b")(y)
+
+        return x4_out, x2_out  # coarse 1/16, fine 1/4
+
+
 class ResNetFPN(nn.Module):
     """Outputs [coarse 1/8 (block_dims[2] ch), fine 1/2 (block_dims[0] ch)].
 

@@ -290,3 +290,65 @@ class TestTriangulation:
         P1 = projection_from_pose(jnp.asarray(T1))
         X_tri = triangulate_linear(P0, P1, jnp.asarray(x0), jnp.asarray(x1))
         np.testing.assert_allclose(np.asarray(X_tri), X, atol=1e-4)
+
+
+class TestHomography:
+    def _synth(self, rng, n_in=100, n_out=30, noise=0.3):
+        H_gt = np.array(
+            [[1.1, 0.05, 12.0], [-0.03, 0.95, -8.0], [1e-4, -5e-5, 1.0]]
+        )
+        p0 = rng.uniform(0, 500, (n_in, 2))
+        ph = np.concatenate([p0, np.ones((n_in, 1))], 1) @ H_gt.T
+        p1 = ph[:, :2] / ph[:, 2:3] + rng.standard_normal((n_in, 2)) * noise
+        p0o = rng.uniform(0, 500, (n_out, 2))
+        p1o = rng.uniform(0, 500, (n_out, 2))
+        pts0 = np.concatenate([p0, p0o]).astype(np.float32)
+        pts1 = np.concatenate([p1, p1o]).astype(np.float32)
+        return H_gt, pts0, pts1
+
+    def test_dlt_exact(self, rng):
+        from featurematching_tpu.geometry.homography import (
+            dlt_homography,
+            homography_transfer_error,
+        )
+
+        H_gt, pts0, pts1 = self._synth(rng, n_out=0, noise=0.0)
+        H = dlt_homography(
+            jnp.asarray(pts0), jnp.asarray(pts1), jnp.ones(len(pts0))
+        )
+        np.testing.assert_allclose(np.asarray(H), H_gt / H_gt[2, 2], rtol=1e-3, atol=1e-4)
+        err = homography_transfer_error(jnp.asarray(pts0), jnp.asarray(pts1), H)
+        assert float(jnp.max(err)) < 1e-3
+
+    def test_ransac_with_outliers(self, rng):
+        from featurematching_tpu.geometry.homography import (
+            estimate_homography_ransac,
+            homography_corner_error,
+        )
+
+        H_gt, pts0, pts1 = self._synth(rng)
+        mask = np.ones(len(pts0), bool)
+        res = estimate_homography_ransac(
+            jnp.asarray(pts0), jnp.asarray(pts1), jnp.asarray(mask),
+            jax.random.PRNGKey(0), thresh=3.0, num_hypotheses=256,
+        )
+        assert bool(res.valid)
+        assert int(res.num_inliers) >= 90
+        assert not np.asarray(res.inliers)[100:].any() or np.asarray(res.inliers)[100:].mean() < 0.2
+        err = homography_corner_error(res.H, jnp.asarray(H_gt), 640.0, 480.0)
+        assert float(err) < 3.0, f"corner err {float(err)}"
+
+    def test_padded_rows_ignored(self, rng):
+        from featurematching_tpu.geometry.homography import estimate_homography_ransac
+
+        H_gt, pts0, pts1 = self._synth(rng, n_out=0)
+        pad = 50
+        p0p = np.concatenate([pts0, np.full((pad, 2), -1e4, np.float32)])
+        p1p = np.concatenate([pts1, np.full((pad, 2), 1e4, np.float32)])
+        maskp = np.concatenate([np.ones(len(pts0), bool), np.zeros(pad, bool)])
+        res = estimate_homography_ransac(
+            jnp.asarray(p0p), jnp.asarray(p1p), jnp.asarray(maskp),
+            jax.random.PRNGKey(1), thresh=3.0, num_hypotheses=128,
+        )
+        assert bool(res.valid)
+        assert not np.asarray(res.inliers)[-pad:].any()
