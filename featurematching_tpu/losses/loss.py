@@ -145,8 +145,8 @@ def compute_pose_metric_old(
 
 
 def total_loss(
-    conf: jnp.ndarray,
-    conf_gt: jnp.ndarray,
+    conf: Optional[jnp.ndarray],
+    conf_gt: Optional[jnp.ndarray],
     mkpts0_f: jnp.ndarray,
     mkpts1_f: jnp.ndarray,
     expec_f_gt_0: jnp.ndarray,
@@ -155,10 +155,16 @@ def total_loss(
     cfg: LossConfig,
     window: int = 7,
     loss_pose: Optional[jnp.ndarray] = None,
+    loss_c_override: Optional[jnp.ndarray] = None,
 ) -> LossOutput:
     """Total = coarse_weight * L_c + fine_weight * L_f (loss.py:116-172).
-    `loss_pose` is recorded but NOT added, matching the reference."""
-    loss_c = compute_coarse_loss(conf, conf_gt, cfg)
+    `loss_pose` is recorded but NOT added, matching the reference.
+    `loss_c_override` supplies a precomputed coarse loss (the conf-free
+    sparse path, ops/sparse_focal_loss.py) and skips the materialized one."""
+    if loss_c_override is not None:
+        loss_c = loss_c_override
+    else:
+        loss_c = compute_coarse_loss(conf, conf_gt, cfg)
     loss_f = compute_fine_loss(
         mkpts0_f, mkpts1_f, expec_f_gt_0, expec_f_gt_1, spv_mask, window
     )

@@ -89,6 +89,13 @@ def _forward_with_loss(
     sc = cfg.model.resolution[0]
     grid = (H // sc, W // sc)
 
+    # conf-matrix-free coarse loss (ops/sparse_focal_loss.py) whenever the
+    # config allows it — removes the [B, L, S] materialization (B x 92 MB at
+    # 640x480) from BOTH the forward and backward graphs
+    use_sparse = (
+        cfg.model.loss.sparse_spvs and cfg.model.loss.coarse_type == "focal"
+    )
+
     sup = compute_supervision_coarse(
         batch["gt_kp0"], batch["gt_kp1"], batch["gt_mask"], grid, grid, sc
     )
@@ -101,7 +108,7 @@ def _forward_with_loss(
             batch["image1"],
             train=True,
             gt_ids=(sup.spv_i_ids, sup.spv_j_ids, sup.spv_mask),
-            want_conf_matrix=True,
+            want_conf_matrix=not use_sparse,
             mutable=["batch_stats"],
             rngs=rngs,
         )
@@ -111,7 +118,7 @@ def _forward_with_loss(
             batch["image0"],
             batch["image1"],
             train=False,
-            want_conf_matrix=True,
+            want_conf_matrix=not use_sparse,
         )
         mutated = {"batch_stats": batch_stats}
 
@@ -142,9 +149,21 @@ def _forward_with_loss(
             out.T_0to1_pred, out.T_1to0_pred, cfg.model.loss,
         )
 
+    loss_c_override = None
+    if use_sparse:
+        from featurematching_tpu.ops.sparse_focal_loss import sparse_focal_loss
+
+        C = out.feat_c0.shape[-1]
+        inv_temp = 1.0 / (C * cfg.model.match_coarse.dsmax_temperature)
+        loss_c_override = cfg.model.loss.pos_weight * sparse_focal_loss(
+            out.feat_c0, out.feat_c1, sup.spv_i_ids, sup.spv_j_ids,
+            sup.spv_mask, inv_temp, cfg.model.loss.focal_alpha,
+            cfg.model.loss.focal_gamma,
+        )
+
     losses = total_loss(
         out.conf_matrix,
-        sup.conf_matrix_gt,
+        sup.conf_matrix_gt if not use_sparse else None,
         out.fine.mkpts0_f,
         out.fine.mkpts1_f,
         gt0,
@@ -153,6 +172,7 @@ def _forward_with_loss(
         cfg.model.loss,
         window=cfg.model.fine.window_size,
         loss_pose=loss_pose,
+        loss_c_override=loss_c_override,
     )
     return losses, out, mutated.get("batch_stats", batch_stats)
 

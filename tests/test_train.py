@@ -172,7 +172,8 @@ class TestTrainStep:
         ev = jax.jit(make_eval_step(model, cfg))
         out, losses = ev(state, batch)
         assert np.isfinite(float(losses.loss))
-        assert out.conf_matrix is not None
+        # default config uses the conf-matrix-free sparse loss path
+        assert out.conf_matrix is None
 
     def test_sharded_train_step_8_devices(self, setup):
         """The multi-chip path: batch sharded over an 8-device 'data' mesh,
