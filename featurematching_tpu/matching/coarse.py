@@ -214,8 +214,14 @@ def coarse_match(
             dual_softmax_match_stats,
         )
 
+        # match SELECTION is non-differentiable (ids + thresholded maxima);
+        # stop_gradient keeps the Pallas kernels out of JVP/VJP graphs when
+        # coarse_match runs inside a differentiated training step
         stats = dual_softmax_match_stats(
-            feat_c0, feat_c1, temperature=temperature, impl=impl
+            jax.lax.stop_gradient(feat_c0),
+            jax.lax.stop_gradient(feat_c1),
+            temperature=temperature,
+            impl=impl,
         )
         i_ids, j_ids, mask, mconf = extract_matches_from_stats(
             stats, grid0, grid1, thr, border_rm, max_matches

@@ -109,7 +109,13 @@ class Runner:
         self.mesh = make_mesh(n_data=n_data)
         global_bs = cfg.trainer.batch_size * jax.process_count()
 
-        sample = next(iter(train_loader.epoch(0)))
+        try:
+            sample = next(iter(train_loader.epoch(0)))
+        except StopIteration:
+            raise ValueError(
+                "train_loader yields no batches — dataset empty after "
+                "filtering, or batch_size exceeds the per-host shard"
+            ) from None
         sample = jax.tree.map(jnp.asarray, sample)
         self.tx = build_optimizer(
             cfg.trainer.optimizer, global_bs, cfg.trainer.steps_per_epoch

@@ -62,7 +62,11 @@ def create_train_state(
     sample_batch: Dict[str, jnp.ndarray],
 ) -> Tuple[Matcher, TrainState]:
     model = Matcher(cfg.model)
-    variables = model.init(rng, sample_batch["image0"], sample_batch["image1"])
+    # jit the init: on tunnel-attached accelerators an un-jitted init runs
+    # op-by-op through the relay (~minutes); jitted it is one program
+    variables = jax.jit(model.init)(
+        rng, sample_batch["image0"], sample_batch["image1"]
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
