@@ -122,6 +122,7 @@ def _per_pair_loss_and_grad(logc, alpha, gamma):
 
 def _sfl_fwd(f0, f1, gt_i, gt_j, gt_mask, inv_temp, alpha, gamma, tile):
     B = f0.shape[0]
+    orig_dtypes = (f0.dtype, f1.dtype)
     f0 = f0.astype(jnp.float32)
     f1 = f1.astype(jnp.float32)
 
@@ -136,12 +137,12 @@ def _sfl_fwd(f0, f1, gt_i, gt_j, gt_mask, inv_temp, alpha, gamma, tile):
     m = gt_mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(m), 1.0)
     loss = jnp.sum(per * m) / denom
-    res = (f0, f1, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom)
+    res = (f0, f1, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom, orig_dtypes)
     return loss, res
 
 
 def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
-    f0, f1, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom = res
+    f0, f1, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom, orig_dtypes = res
     B, L, C = f0.shape
     S = f1.shape[1]
     G = gt_i.shape[1]
@@ -183,7 +184,14 @@ def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
 
     df0, df1 = jax.vmap(one)(f0, f1, gt_i, gt_j, gbar, lse_r, lse_c)
     zeros_i = jnp.zeros_like(gt_i)
-    return df0, df1, zeros_i, zeros_i, jnp.zeros_like(gt_mask)
+    # cotangents must match the primal dtypes (bf16 activations in training)
+    return (
+        df0.astype(orig_dtypes[0]),
+        df1.astype(orig_dtypes[1]),
+        zeros_i,
+        zeros_i,
+        jnp.zeros_like(gt_mask),
+    )
 
 
 sparse_focal_loss.defvjp(_sfl_fwd, _sfl_bwd)

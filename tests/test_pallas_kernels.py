@@ -60,3 +60,56 @@ class TestDualSoftmaxStats:
         np.testing.assert_array_equal(
             np.asarray(stats.row_argmax[0]), np.arange(64)
         )
+
+
+class TestShardedMatching:
+    def test_sharded_stats_equal_single_device(self, rng):
+        """S-axis-sharded correlation over an 8-way 'model' mesh must match
+        the single-device reference stats."""
+        from featurematching_tpu.ops.pallas_dual_softmax import _stats_reference
+        from featurematching_tpu.ops.sharded_matching import (
+            dual_softmax_match_stats_sharded,
+        )
+        from featurematching_tpu.parallel.mesh import make_mesh
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh(n_data=1, n_model=8)
+        B, L, S, C = 2, 64, 128, 32
+        f0 = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+        f1 = jnp.asarray(rng.standard_normal((B, S, C)).astype(np.float32))
+        got = dual_softmax_match_stats_sharded(f0, f1, mesh, 0.1)
+        ref = _stats_reference(f0, f1, 1.0 / (C * 0.1))
+        np.testing.assert_allclose(
+            np.asarray(got.row_max), np.asarray(ref.row_max), rtol=1e-4, atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.row_argmax), np.asarray(ref.row_argmax)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.col_max), np.asarray(ref.col_max), rtol=1e-4, atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.col_argmax), np.asarray(ref.col_argmax)
+        )
+
+    def test_sharded_match_extraction(self, rng):
+        """End-to-end: extraction from sharded stats equals the XLA path."""
+        from featurematching_tpu.matching.coarse import (
+            dual_softmax_confidence,
+            extract_matches,
+            extract_matches_from_stats,
+        )
+        from featurematching_tpu.ops.sharded_matching import (
+            dual_softmax_match_stats_sharded,
+        )
+        from featurematching_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=1, n_model=8)
+        B, h, w, C = 1, 8, 8, 16
+        f = jnp.asarray(rng.standard_normal((B, h * w, C)).astype(np.float32))
+        stats = dual_softmax_match_stats_sharded(f, f, mesh, 0.1)
+        got = extract_matches_from_stats(stats, (h, w), (h, w), 0.01, 1, 32)
+        conf = dual_softmax_confidence(f, f, 0.1)
+        ref = extract_matches(conf, (h, w), (h, w), 0.01, 1, 32)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
