@@ -122,7 +122,7 @@ def _per_pair_loss_and_grad(logc, alpha, gamma):
 
 def _sfl_fwd(f0, f1, gt_i, gt_j, gt_mask, inv_temp, alpha, gamma, tile):
     B = f0.shape[0]
-    orig_dtypes = (f0.dtype, f1.dtype)
+    f0_orig, f1_orig = f0, f1  # residuals keep the primal dtype (bf16 ok)
     f0 = f0.astype(jnp.float32)
     f1 = f1.astype(jnp.float32)
 
@@ -137,12 +137,14 @@ def _sfl_fwd(f0, f1, gt_i, gt_j, gt_mask, inv_temp, alpha, gamma, tile):
     m = gt_mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(m), 1.0)
     loss = jnp.sum(per * m) / denom
-    res = (f0, f1, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom, orig_dtypes)
+    res = (f0_orig, f1_orig, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom)
     return loss, res
 
 
 def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
-    f0, f1, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom, orig_dtypes = res
+    f0_orig, f1_orig, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom = res
+    f0 = f0_orig.astype(jnp.float32)
+    f1 = f1_orig.astype(jnp.float32)
     B, L, C = f0.shape
     S = f1.shape[1]
     G = gt_i.shape[1]
@@ -186,8 +188,8 @@ def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
     zeros_i = jnp.zeros_like(gt_i)
     # cotangents must match the primal dtypes (bf16 activations in training)
     return (
-        df0.astype(orig_dtypes[0]),
-        df1.astype(orig_dtypes[1]),
+        df0.astype(f0_orig.dtype),
+        df1.astype(f1_orig.dtype),
         zeros_i,
         zeros_i,
         jnp.zeros_like(gt_mask),

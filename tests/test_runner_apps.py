@@ -201,3 +201,26 @@ class TestCoarseOnly:
         assert float(np.abs(np.asarray(out.fine.mkpts0_f[..., 2])).max()) == 0
         # no fine-transformer params created
         assert "fine_transformer" not in v["params"]
+
+
+class TestSfmApp:
+    def test_sequence_cli(self, tmp_path, rng):
+        import cv2
+
+        from featurematching_tpu.apps.sfm import main
+        from tests.test_data import checkerboard_texture
+
+        d = tmp_path / "seq"
+        d.mkdir()
+        base = checkerboard_texture(96, 128, rng)
+        for i in range(3):
+            cv2.imwrite(str(d / f"f{i:03d}.png"), np.roll(base, 4 * i, axis=1))
+        out = str(tmp_path / "traj.txt")
+        rc = main(
+            [str(d), "--intrinsics", "100", "100", "64", "48",
+             "--size", "128", "96", "--thr", "0.0001", "--out", out, "--pgo"]
+        )
+        assert rc == 0
+        lines = open(out).read().strip().splitlines()
+        assert len(lines) == 3
+        assert all(len(l.split()) == 8 for l in lines)
