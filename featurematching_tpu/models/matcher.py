@@ -62,8 +62,9 @@ def sine_positional_encoding(shape: Tuple[int, int], d_model: int) -> np.ndarray
     """2D sinusoidal PE [H, W, C] (reference position_encoding.py:5-28)."""
     h, w = shape
     pe = np.zeros((d_model, h, w), dtype=np.float32)
-    y = np.arange(h, dtype=np.float32)[:, None]
-    x = np.arange(w, dtype=np.float32)[None, :]
+    # positions start at 1 (reference uses ones().cumsum())
+    y = np.arange(1, h + 1, dtype=np.float32)[:, None]
+    x = np.arange(1, w + 1, dtype=np.float32)[None, :]
     div = np.exp(
         np.arange(0, d_model // 2, 2, dtype=np.float32)
         * (-np.log(10000.0) / (d_model // 2))

@@ -244,3 +244,16 @@ class TestCoarseMatchingParity:
                 np.testing.assert_allclose(
                     np.asarray(matches.mkpts0_c[0][k]), ref_kpts0[rk], atol=1e-4
                 )
+
+
+class TestPositionalEncodingParity:
+    def test_sine_pe_matches_reference(self):
+        ref_mod = _load_ref_module("ref_pe", "network/utils/position_encoding.py")
+        d_model = 32
+        ref = ref_mod.PositionEncodingSine(d_model, max_shape=(16, 20))
+
+        from featurematching_tpu.models.matcher import sine_positional_encoding
+
+        ours = sine_positional_encoding((16, 20), d_model)  # [H, W, C]
+        ref_pe = ref.pe[0].numpy()[:, :16, :20].transpose(1, 2, 0)
+        np.testing.assert_allclose(ours, ref_pe, atol=1e-5)
