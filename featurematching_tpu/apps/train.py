@@ -102,6 +102,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=114514)
     p.add_argument("--synthetic-pairs", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--warmup-steps", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="canonical LR override (scaled by batch/canonical_bs)")
     args = p.parse_args(argv)
 
     import jax
@@ -140,6 +143,14 @@ def main(argv=None) -> int:
     if jax.default_backend() == "cpu":
         model_over["compute_dtype"] = "float32"
     steps = args.steps_per_epoch or max(1, len(train_ds) // args.batch)
+    opt = cfg.trainer.optimizer
+    opt_over = {}
+    if args.warmup_steps is not None:
+        opt_over["warmup_steps"] = args.warmup_steps
+    if args.lr is not None:
+        opt_over["canonical_lr"] = args.lr
+    if opt_over:
+        opt = dataclasses.replace(opt, **opt_over)
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, **model_over),
@@ -149,6 +160,7 @@ def main(argv=None) -> int:
             steps_per_epoch=steps,
             num_epochs=args.epochs or cfg.trainer.num_epochs,
             seed=args.seed,
+            optimizer=opt,
         ),
     )
 
