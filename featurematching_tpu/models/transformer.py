@@ -82,8 +82,20 @@ class LocalFeatureTransformer(nn.Module):
                 self.d_model, self.nhead, self.attention, self.dtype, name=f"layer_{i}"
             )
             if name == "self":
-                feat0 = layer(feat0, feat0, mask0, mask0)
-                feat1 = layer(feat1, feat1, mask1, mask1)
+                if (
+                    feat0.shape == feat1.shape
+                    and mask0 is None
+                    and mask1 is None
+                ):
+                    # both self-attention calls are independent and share
+                    # weights — stack them into ONE call (identical math,
+                    # 2x matmul M, half the op count)
+                    stacked = jnp.concatenate([feat0, feat1], axis=0)
+                    stacked = layer(stacked, stacked)
+                    feat0, feat1 = jnp.split(stacked, 2, axis=0)
+                else:
+                    feat0 = layer(feat0, feat0, mask0, mask0)
+                    feat1 = layer(feat1, feat1, mask1, mask1)
             elif name == "cross":
                 # NOTE the reference updates feat0 first and feeds the UPDATED
                 # feat0 into feat1's cross step (transformer.py:93-95); keep
