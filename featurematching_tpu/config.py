@@ -224,6 +224,22 @@ def replace(cfg: Any, **kwargs: Any) -> Any:
     return dataclasses.replace(cfg, **kwargs)
 
 
+def tpu_optimized_config() -> Config:
+    """Performance profile: same capability/quality class as the default, but
+    MXU-friendly head widths (head_dim 64 instead of the reference's 16 — the
+    systolic array's contraction dim is 128, so 16-wide heads run the window
+    attention at ~6% MXU utilization). NOT weight-compatible with reference
+    checkpoints; use default_config() for checkpoint import/parity.
+    """
+    model = ModelConfig(
+        swin=SwinConfig(num_heads=(1, 2, 4)),
+        coarse=TransformerConfig(d_model=256, nhead=4),
+        fine=FineMatchConfig(d_model=64, nhead=1),
+        pose=PoseHeadConfig(nhead=4),
+    )
+    return Config(model=model)
+
+
 def tiny_test_config() -> Config:
     """A miniature config for fast CPU tests: small images, tiny towers."""
     model = ModelConfig(

@@ -176,3 +176,22 @@ class TestMatcherSwin:
         assert out.coarse.i_ids.shape == (1, 16)
         assert out.fine.mkpts0_f.shape == (1, 16, 3)
         assert np.isfinite(np.asarray(out.fine.mkpts0_f)).all()
+
+
+class TestTpuOptimizedProfile:
+    def test_profile_runs(self):
+        import dataclasses
+
+        from featurematching_tpu.config import tpu_optimized_config
+
+        cfg = tpu_optimized_config()
+        mcfg = dataclasses.replace(
+            cfg.model, compute_dtype="float32",
+            match_coarse=dataclasses.replace(cfg.model.match_coarse, max_matches=16),
+        )
+        model = Matcher(mcfg)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), img, img)
+        out = model.apply(v, img, img)
+        assert np.isfinite(np.asarray(out.fine.mkpts0_f)).all()
