@@ -1,0 +1,244 @@
+"""Fully-fused Swin block — Pallas TPU kernel (inference).
+
+Extends the fused window attention to the ENTIRE block:
+
+    h   = LN1(x)
+    o   = proj(W-MSA(qkv(h), rel_bias, shift_mask))
+    x   = x + o
+    out = x + mlp2(gelu(mlp1(LN2(x))))
+
+computed per chunk of windows in VMEM. Compared to the XLA op-chain, this
+removes ~6 HBM round trips of the [B_, N, C] activations per block and the
+fp32 LayerNorm convert_reduce traffic the profiler attributed ~6 ms/iter to
+(docs/ROADMAP.md). Window partition/reverse stay outside (pure permutations;
+the residual algebra commutes with them, so block math in window space is
+exact).
+
+Forward-only (no VJP): training uses the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def swin_block_reference(
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    params: dict,
+    num_heads: int,
+) -> jnp.ndarray:
+    """jnp ground truth over window-space inputs [B_, N, C].
+
+    params: ln1_scale, ln1_bias, w_qkv [C,3C], b_qkv, rel_bias [h,N,N],
+    w_proj [C,C], b_proj, ln2_scale, ln2_bias, w_mlp1 [C,HID], b_mlp1,
+    w_mlp2 [HID,C], b_mlp2. mask: [nW, N, N] additive or None.
+    """
+    B_, N, C = x.shape
+    h = num_heads
+    d = C // h
+    dtype = x.dtype
+
+    def ln(v, scale, bias):
+        v32 = v.astype(jnp.float32)
+        mu = jnp.mean(v32, axis=-1, keepdims=True)
+        var = jnp.mean((v32 - mu) ** 2, axis=-1, keepdims=True)
+        return ((v32 - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias).astype(dtype)
+
+    hx = ln(x, params["ln1_scale"], params["ln1_bias"])
+    qkv = (hx @ params["w_qkv"].astype(dtype)) + params["b_qkv"].astype(dtype)
+    q = qkv[..., :C].reshape(B_, N, h, d).transpose(0, 2, 1, 3)
+    k = qkv[..., C : 2 * C].reshape(B_, N, h, d).transpose(0, 2, 1, 3)
+    v = qkv[..., 2 * C :].reshape(B_, N, h, d).transpose(0, 2, 1, 3)
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+    attn = attn + params["rel_bias"][None].astype(attn.dtype)
+    if mask is not None:
+        nW = mask.shape[0]
+        wid = jnp.arange(B_) % nW
+        attn = attn + mask[wid][:, None].astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1)
+    o = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(dtype), v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    o = (o @ params["w_proj"].astype(dtype)) + params["b_proj"].astype(dtype)
+    x = x + o
+
+    h2 = ln(x, params["ln2_scale"], params["ln2_bias"])
+    y = (h2 @ params["w_mlp1"].astype(dtype)) + params["b_mlp1"].astype(dtype)
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(dtype)
+    y = (y @ params["w_mlp2"].astype(dtype)) + params["b_mlp2"].astype(dtype)
+    return x + y
+
+
+def _block_kernel(
+    x_ref, mask_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
+    out_ref,
+    *, num_heads, has_mask,
+):
+    CH, N, C = x_ref.shape
+    h = num_heads
+    d = C // h
+    x = x_ref[...]
+    dtype = x.dtype
+
+    def ln(v, s_ref, b_ref):
+        v32 = v.astype(jnp.float32)
+        mu = jnp.mean(v32, axis=-1, keepdims=True)
+        var = jnp.mean((v32 - mu) ** 2, axis=-1, keepdims=True)
+        out = (v32 - mu) * jax.lax.rsqrt(var + 1e-6)
+        return (out * s_ref[...] + b_ref[...]).astype(dtype)
+
+    hx = ln(x, ln1s_ref, ln1b_ref)
+    hx2 = hx.reshape(CH * N, C)
+    qkv = (
+        jax.lax.dot_general(
+            hx2, wqkv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv_ref[...].astype(jnp.float32)
+    ).astype(dtype).reshape(CH, N, 3 * C)
+
+    q = qkv[:, :, :C]
+    k = qkv[:, :, C : 2 * C]
+    v = qkv[:, :, 2 * C :]
+
+    acc = jnp.zeros((CH, N, C), dtype=dtype)
+    for hi in range(h):
+        qh = q[:, :, hi * d : (hi + 1) * d]
+        kh = k[:, :, hi * d : (hi + 1) * d]
+        vh = v[:, :, hi * d : (hi + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (d**-0.5)
+        s = s + bias_ref[hi][None]
+        if has_mask:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(dtype), vh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        acc = acc.at[:, :, hi * d : (hi + 1) * d].set(o)
+
+    o2 = acc.reshape(CH * N, C)
+    o2 = (
+        jax.lax.dot_general(
+            o2, wproj_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bproj_ref[...].astype(jnp.float32)
+    ).astype(dtype)
+    x = x + o2.reshape(CH, N, C)
+
+    h2 = ln(x, ln2s_ref, ln2b_ref).reshape(CH * N, C)
+    y = (
+        jax.lax.dot_general(
+            h2, wm1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bm1_ref[...].astype(jnp.float32)
+    )
+    y = jax.nn.gelu(y, approximate=False).astype(dtype)
+    y = (
+        jax.lax.dot_general(
+            y, wm2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bm2_ref[...].astype(jnp.float32)
+    ).astype(dtype)
+    out_ref[...] = x + y.reshape(CH, N, C)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "chunk", "interpret"))
+def swin_block_fused(
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    params: dict,
+    num_heads: int,
+    chunk: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused block over window-space activations. x: [B_, N, C]."""
+    B_, N, C = x.shape
+    chunk = min(chunk, B_)
+    while B_ % chunk:
+        chunk -= 1
+
+    has_mask = mask is not None
+    if has_mask:
+        nW = mask.shape[0]
+        wid = jnp.arange(B_) % nW
+        mask_pw = mask.astype(jnp.float32)[wid]  # [B_, N, N]
+    else:
+        mask_pw = jnp.zeros((B_, 1, 1), jnp.float32)  # placeholder, unread
+
+    HID = params["w_mlp1"].shape[1]
+    f32 = jnp.float32
+    p32 = {k: v.astype(f32) for k, v in params.items()}
+    bf = x.dtype
+
+    kernel = functools.partial(
+        _block_kernel, num_heads=num_heads, has_mask=has_mask
+    )
+    mask_block = (
+        pl.BlockSpec((chunk, N, N), lambda g: (g, 0, 0))
+        if has_mask
+        else pl.BlockSpec((chunk, 1, 1), lambda g: (g, 0, 0))
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B_ // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, N, C), lambda g: (g, 0, 0)),
+            mask_block,
+            pl.BlockSpec((C,), lambda g: (0,)),
+            pl.BlockSpec((C,), lambda g: (0,)),
+            pl.BlockSpec((C, 3 * C), lambda g: (0, 0)),
+            pl.BlockSpec((3 * C,), lambda g: (0,)),
+            pl.BlockSpec((num_heads, N, N), lambda g: (0, 0, 0)),
+            pl.BlockSpec((C, C), lambda g: (0, 0)),
+            pl.BlockSpec((C,), lambda g: (0,)),
+            pl.BlockSpec((C,), lambda g: (0,)),
+            pl.BlockSpec((C,), lambda g: (0,)),
+            pl.BlockSpec((C, HID), lambda g: (0, 0)),
+            pl.BlockSpec((HID,), lambda g: (0,)),
+            pl.BlockSpec((HID, C), lambda g: (0, 0)),
+            pl.BlockSpec((C,), lambda g: (0,)),
+        ],
+        out_specs=pl.BlockSpec((chunk, N, C), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
+        interpret=interpret,
+    )(
+        x, mask_pw,
+        p32["ln1_scale"], p32["ln1_bias"],
+        params["w_qkv"].astype(bf), p32["b_qkv"],
+        p32["rel_bias"],
+        params["w_proj"].astype(bf), p32["b_proj"],
+        p32["ln2_scale"], p32["ln2_bias"],
+        params["w_mlp1"].astype(bf), p32["b_mlp1"],
+        params["w_mlp2"].astype(bf), p32["b_mlp2"],
+    )
