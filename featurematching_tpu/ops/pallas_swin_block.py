@@ -120,7 +120,7 @@ def _block_kernel(
     k = qkv[:, :, C : 2 * C]
     v = qkv[:, :, 2 * C :]
 
-    acc = jnp.zeros((CH, N, C), dtype=dtype)
+    head_outs = []
     for hi in range(h):
         qh = q[:, :, hi * d : (hi + 1) * d]
         kh = k[:, :, hi * d : (hi + 1) * d]
@@ -139,7 +139,9 @@ def _block_kernel(
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dtype)
-        acc = acc.at[:, :, hi * d : (hi + 1) * d].set(o)
+        head_outs.append(o)
+    # static python loop -> concat (Mosaic has no scatter for .at[].set)
+    acc = head_outs[0] if h == 1 else jnp.concatenate(head_outs, axis=-1)
 
     o2 = acc.reshape(CH * N, C)
     o2 = (

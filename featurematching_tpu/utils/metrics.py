@@ -83,6 +83,17 @@ def compute_pose_errors(
     }
 
 
+def compute_pose_errors_from_head(
+    T_0to1: jnp.ndarray, T_0to1_pred: jnp.ndarray
+) -> dict:
+    """Pose errors from a learned pose head's prediction instead of RANSAC
+    (reference compute_pose_errors_new, metrics.py:112-121). Batched [B,4,4]."""
+    R_err, t_err = relative_pose_error(
+        T_0to1, T_0to1_pred[..., :3, :3], T_0to1_pred[..., :3, 3]
+    )
+    return {"R_errs": R_err, "t_errs": t_err}
+
+
 # ---------------------------------------------------------------------------
 # host-side aggregation (numpy) — ports of metrics.py:162-219
 # ---------------------------------------------------------------------------

@@ -224,3 +224,17 @@ class TestSfmApp:
         lines = open(out).read().strip().splitlines()
         assert len(lines) == 3
         assert all(len(l.split()) == 8 for l in lines)
+
+
+class TestPoseHeadMetrics:
+    def test_pose_errors_from_head(self, rng):
+        import jax.numpy as jnp
+
+        from featurematching_tpu.utils.metrics import compute_pose_errors_from_head
+
+        T = np.eye(4, dtype=np.float32)[None]
+        pred = T.copy()
+        pred[0, :3, 3] = [0.3, 0, 0]
+        out = compute_pose_errors_from_head(jnp.asarray(T), jnp.asarray(pred))
+        assert float(out["R_errs"][0]) < 1e-3
+        np.testing.assert_allclose(float(out["t_errs"][0]), 0.3, rtol=1e-5)
