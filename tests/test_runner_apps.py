@@ -238,3 +238,41 @@ class TestPoseHeadMetrics:
         out = compute_pose_errors_from_head(jnp.asarray(T), jnp.asarray(pred))
         assert float(out["R_errs"][0]) < 1e-3
         np.testing.assert_allclose(float(out["t_errs"][0]), 0.3, rtol=1e-5)
+
+
+class TestPlotting:
+    def test_matching_figure_and_colormap(self, tmp_path, rng):
+        from featurematching_tpu.utils.plotting import (
+            dynamic_alpha,
+            error_colormap,
+            make_evaluation_figure,
+        )
+
+        assert dynamic_alpha(0) == 1.0
+        assert dynamic_alpha(100) < 1.0
+        assert dynamic_alpha(5000) == 0.2
+        cols = error_colormap(np.array([0.0, 1.0]), thr=0.5)
+        assert cols.shape == (2, 4)
+        assert cols[0, 1] > cols[1, 1]  # low error -> greener
+
+        img0 = rng.random((48, 64))
+        img1 = rng.random((48, 64))
+        mk = rng.random((10, 2)) * [64, 48]
+        errs = rng.random(10) * 1e-3
+        out = str(tmp_path / "fig.png")
+        make_evaluation_figure(img0, img1, mk, mk, errs, path=out)
+        assert os.path.exists(out)
+
+
+class TestProfilerUtils:
+    def test_timer_and_sync(self):
+        import jax.numpy as jnp
+
+        from featurematching_tpu.utils.profiler import Timer, sync
+
+        t = Timer()
+        x = jnp.ones((8, 8))
+        t.update("op", x * 2)
+        assert "op" in t.times and t.times["op"] >= 0
+        sync({"a": x})  # no raise
+        t.print("test")
