@@ -163,7 +163,8 @@ def _block_kernel(
         )
         + bm1_ref[...].astype(jnp.float32)
     )
-    y = jax.nn.gelu(y, approximate=False).astype(dtype)
+    # exact gelu via erf (Mosaic lowers erf but not jax.nn.gelu's erfc form)
+    y = (y * 0.5 * (1.0 + jax.lax.erf(y * 0.7071067811865476))).astype(dtype)
     y = (
         jax.lax.dot_general(
             y, wm2_ref[...],
