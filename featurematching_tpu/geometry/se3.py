@@ -14,7 +14,6 @@ arrays and broadcast over leading dims, so `jax.vmap` is rarely needed.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 
 def _eps_like(x, eps=1e-8):

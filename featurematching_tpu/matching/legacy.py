@@ -26,7 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from featurematching_tpu.matching.fine import normalized_grid, spatial_expectation
+from featurematching_tpu.matching.fine import spatial_expectation
 
 
 def sample_coarse_training_ids(

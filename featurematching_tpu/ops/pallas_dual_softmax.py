@@ -26,11 +26,10 @@ via interpret mode).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class MatchStats(NamedTuple):

@@ -85,6 +85,22 @@ def swin_block_reference(
     return x + y
 
 
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation (|err| <= 1.5e-7).
+
+    Mosaic has no erf/erfc lowering; this is pure VPU arithmetic and keeps
+    the exact-GELU parity within fp32 noise.
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _block_kernel(
     x_ref, mask_ref,
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
@@ -163,8 +179,9 @@ def _block_kernel(
         )
         + bm1_ref[...].astype(jnp.float32)
     )
-    # exact gelu via erf (Mosaic lowers erf but not jax.nn.gelu's erfc form)
-    y = (y * 0.5 * (1.0 + jax.lax.erf(y * 0.7071067811865476))).astype(dtype)
+    # exact gelu via the A&S erf approximation (Mosaic lowers neither erf
+    # nor erfc); |erf err| <= 1.5e-7 keeps exact-GELU parity at fp32 noise
+    y = (y * 0.5 * (1.0 + _erf_approx(y * 0.7071067811865476))).astype(dtype)
     y = (
         jax.lax.dot_general(
             y, wm2_ref[...],

@@ -24,7 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from featurematching_tpu.geometry.se3 import se3_exp
 from featurematching_tpu.sfm.ba import (

@@ -8,9 +8,8 @@ and the img_distort.py preprocessing (stereo split + undistort + resize,
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
