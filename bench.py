@@ -57,9 +57,15 @@ def main() -> None:
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0, img1)
 
+    # serving path: fused Pallas Swin blocks + fused matcher over the same
+    # param tree (equality-tested against Matcher.apply; +9.5% same-process)
+    from featurematching_tpu.models.fast_inference import make_fast_matcher_fn
+
+    fast = make_fast_matcher_fn(cfg.model)
+
     @jax.jit
     def fwd(variables, a, b):
-        out = model.apply(variables, a, b)
+        out = fast(variables, a, b)
         # the arrays a pipeline consumer needs
         return out.coarse.mask, out.fine.mkpts0_f, out.fine.mkpts1_f, out.coarse.mconf
 
