@@ -139,7 +139,17 @@ class PairMatcher:
                 "batch_stats": restored.get("batch_stats", {}),
             }
 
-        self._fwd = jax.jit(lambda v, a, b: self.model.apply(v, a, b))
+        # serving path: the fused-kernel engine on accelerators (equality-
+        # tested against Matcher.apply); linen path on CPU
+        if mcfg.backbone_type == "swin_v1" and jax.default_backend() != "cpu":
+            from featurematching_tpu.models.fast_inference import (
+                make_fast_matcher_fn,
+            )
+
+            fast = make_fast_matcher_fn(mcfg)
+            self._fwd = jax.jit(lambda v, a, b: fast(v, a, b))
+        else:
+            self._fwd = jax.jit(lambda v, a, b: self.model.apply(v, a, b))
 
     def match(self, img0: np.ndarray, img1: np.ndarray):
         """Returns (mkpts0 [M, 2], mkpts1 [M, 2], mconf [M]) — valid rows only."""

@@ -76,7 +76,13 @@ def evaluate_dataset(
             "batch_stats": restored.get("batch_stats", {}) or {},
         }
 
-    fwd = jax.jit(lambda v, a, b: model.apply(v, a, b))
+    if mcfg.backbone_type == "swin_v1" and jax.default_backend() != "cpu":
+        from featurematching_tpu.models.fast_inference import make_fast_matcher_fn
+
+        fast = make_fast_matcher_fn(mcfg)
+        fwd = jax.jit(lambda v, a, b: fast(v, a, b))
+    else:
+        fwd = jax.jit(lambda v, a, b: model.apply(v, a, b))
 
     loader = BatchLoader(
         dataset, batch_size, shuffle=False, drop_last=False,
