@@ -119,25 +119,11 @@ class PairMatcher:
         dummy = jnp.zeros((1, H, W, 1 if gray else 3), jnp.float32)
         self.variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy, dummy)
         if ckpt_dir:
-            import orbax.checkpoint as ocp
-
-            mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
-            step = mngr.latest_step()
-            if step is None:
-                raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-            restored = mngr.restore(
-                step,
-                args=ocp.args.StandardRestore(
-                    {
-                        "params": self.variables["params"],
-                        "batch_stats": self.variables.get("batch_stats", {}),
-                    }
-                ),
+            from featurematching_tpu.utils.checkpoints import (
+                load_matcher_variables,
             )
-            self.variables = {
-                "params": restored["params"],
-                "batch_stats": restored.get("batch_stats", {}),
-            }
+
+            self.variables = load_matcher_variables(ckpt_dir)
 
         # serving path: the fused-kernel engine on accelerators (equality-
         # tested against Matcher.apply); linen path on CPU

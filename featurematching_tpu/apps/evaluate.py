@@ -58,23 +58,9 @@ def evaluate_dataset(
     dummy = jnp.zeros((batch_size, H, W, 1 if gray else 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
     if ckpt:
-        import orbax.checkpoint as ocp
-        import os
+        from featurematching_tpu.utils.checkpoints import load_matcher_variables
 
-        mngr = ocp.CheckpointManager(os.path.abspath(ckpt))
-        step = mngr.latest_step()
-        restored = mngr.restore(
-            step,
-            args=ocp.args.StandardRestore(
-                {"params": variables["params"],
-                 "batch_stats": variables.get("batch_stats", {}),
-                 "opt_state": None, "step": None}
-            ),
-        )
-        variables = {
-            "params": restored["params"],
-            "batch_stats": restored.get("batch_stats", {}) or {},
-        }
+        variables = load_matcher_variables(ckpt)
 
     if mcfg.backbone_type == "swin_v1" and jax.default_backend() != "cpu":
         from featurematching_tpu.models.fast_inference import make_fast_matcher_fn

@@ -47,7 +47,7 @@ class TestFullUserStory:
         out = str(tmp_path / "metrics.json")
         rc = eval_main(
             ["scared", root, "--batch", "2", "--size", "128", "96",
-             "--out", out, "--limit", "4"]
+             "--out", out, "--limit", "4", "--ckpt", ckpt_dir]
         )
         assert rc == 0
         with open(out) as f:
@@ -63,6 +63,6 @@ class TestFullUserStory:
         rc = demo_main(
             ["pair", os.path.join(img_dir, frames[0]),
              os.path.join(img_dir, frames[1]), "--size", "128", "96",
-             "--thr", "0.001", "--out", vis]
+             "--thr", "0.001", "--out", vis, "--ckpt", ckpt_dir]
         )
         assert rc == 0 and os.path.exists(vis)
