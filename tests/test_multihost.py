@@ -18,9 +18,9 @@ WORKER = textwrap.dedent(
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
     jax.distributed.initialize(
-        f"localhost:{port}", num_processes=nproc, process_id=pid
+        "localhost:" + port, num_processes=nproc, process_id=pid
     )
-    sys.path.insert(0, {repo!r})
+    sys.path.insert(0, "__REPO__")
     import numpy as np
     from featurematching_tpu.parallel import collectives as cc
 
@@ -28,16 +28,16 @@ WORKER = textwrap.dedent(
     cc.synchronize()
     g = cc.all_gather_arrays(np.full((2,), float(pid + 1)))
     assert g.shape == (nproc, 2) and np.allclose(g[:, 0], [1.0, 2.0]), g
-    red = cc.reduce_scalars({{"a": float(pid)}})
+    red = cc.reduce_scalars({"a": float(pid)})
     assert abs(red["a"] - 0.5) < 1e-9, red
-    got = cc.gather_metric_lists({{"x": [pid * 10, pid * 10 + 1]}})
+    got = cc.gather_metric_lists({"x": [pid * 10, pid * 10 + 1]})
     assert sorted(got["x"]) == [0, 1, 10, 11], got
     seed = cc.shared_random_seed()
     g2 = cc.all_gather_arrays(np.asarray([seed], np.int64))
     assert (g2 == g2[0]).all()
     print("OK", pid)
     """
-).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+).replace("__REPO__", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _free_port() -> int:
