@@ -55,7 +55,11 @@ def main() -> None:
     img0 = jnp.asarray(rng.random((BATCH, H, W, 3)).astype(np.float32))
     img1 = jnp.asarray(rng.random((BATCH, H, W, 3)).astype(np.float32))
 
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0, img1)
+    from featurematching_tpu.utils.host_init import host_init_variables
+
+    # host-side init: on the tunnel platform, downloading ~90 MB of on-device
+    # init outputs costs minutes; uploading host-built params costs seconds
+    variables = host_init_variables(model, jax.random.PRNGKey(0), img0, img1)
 
     # serving path: fused Pallas Swin blocks + fused matcher over the same
     # param tree (equality-tested against Matcher.apply; +9.5% same-process)
