@@ -276,3 +276,51 @@ class TestProfilerUtils:
         assert "op" in t.times and t.times["op"] >= 0
         sync({"a": x})  # no raise
         t.print("test")
+
+
+class TestHostInit:
+    def test_structure_matches_model_init(self):
+        import jax
+        import jax.numpy as jnp
+
+        from featurematching_tpu.config import tiny_test_config
+        from featurematching_tpu.models import Matcher
+        from featurematching_tpu.utils.host_init import host_init_variables
+
+        cfg = tiny_test_config()
+        model = Matcher(cfg.model)
+        img = jnp.zeros((1, 64, 96, 1), jnp.float32)
+        ref = model.init(jax.random.PRNGKey(0), img, img)
+        host = host_init_variables(model, jax.random.PRNGKey(0), img, img)
+        ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
+        host_flat = jax.tree_util.tree_flatten_with_path(host)[0]
+        assert len(ref_flat) == len(host_flat)
+        for (pr, lr), (ph, lh) in zip(ref_flat, host_flat):
+            assert pr == ph
+            assert lr.shape == lh.shape and lr.dtype == lh.dtype
+        # scales are ones, biases zeros (usable for forward passes)
+        p = host["params"]
+        import numpy as np
+
+        leaf = jax.tree_util.tree_flatten_with_path(p)[0]
+        for path, v in leaf:
+            name = str(path[-1]).lower()
+            if "scale" in name:
+                np.testing.assert_allclose(np.asarray(v), 1.0)
+
+    def test_host_init_forward_runs(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from featurematching_tpu.config import tiny_test_config
+        from featurematching_tpu.models import Matcher
+        from featurematching_tpu.utils.host_init import host_init_variables
+
+        cfg = tiny_test_config()
+        model = Matcher(cfg.model)
+        rng_l = np.random.default_rng(0)
+        img = jnp.asarray(rng_l.random((1, 64, 96, 1)).astype(np.float32))
+        v = host_init_variables(model, jax.random.PRNGKey(0), img, img)
+        out = model.apply(v, img, img)
+        assert np.isfinite(np.asarray(out.fine.mkpts0_f)).all()
