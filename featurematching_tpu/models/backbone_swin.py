@@ -299,7 +299,6 @@ class SwinUNet(nn.Module):
 
         n_stages = len(self.depths)
         dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
-        norm_down_dim_check = []
 
         # ----- encoder (swin_...py:685-689)
         for i in range(n_stages):
@@ -323,7 +322,6 @@ class SwinUNet(nn.Module):
             # norm_down applied AFTER downsampling (reference norms the stage
             # output x, which is post-merge: swin_...py:687-689)
             x = nn.LayerNorm(dtype=self.dtype, name=f"norm_down{i}")(x)
-            norm_down_dim_check.append(x.shape[-1])
 
         # ----- decoder (swin_...py:692-702); dims [256, 128, 64]
         out_c = out_f = None

@@ -74,6 +74,28 @@ def shared_random_seed() -> int:
     return int(gathered.reshape(-1)[0])
 
 
+def gather_concat_arrays(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-host arrays whose leading dim may DIFFER across hosts.
+
+    Unlike `all_gather_arrays` (equal shapes required), this first agrees on
+    the max count, zero-pads, gathers, then trims each host's slice back to
+    its true count — so ±1-batch val shards (BatchLoader strided sharding)
+    aggregate exactly. Replaces the reference's pickled padded gather
+    (/root/reference/utils/comm.py:113-174) with fixed-dtype arrays.
+    """
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return arr
+    counts = all_gather_arrays(np.asarray([arr.shape[0]], np.int64)).reshape(-1)
+    n_max = int(counts.max())
+    pad = np.zeros((n_max - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    padded = np.concatenate([arr, pad], 0) if n_max > arr.shape[0] else arr
+    gathered = all_gather_arrays(padded)  # [P, n_max, ...]
+    return np.concatenate(
+        [gathered[p, : int(c)] for p, c in enumerate(counts)], 0
+    )
+
+
 def gather_metric_lists(metrics: Dict[str, List]) -> Dict[str, List]:
     """Concatenate per-host metric lists (fixed-shape numeric entries) across
     hosts — the eval-epoch aggregation path (lightning_new.py:291-295).

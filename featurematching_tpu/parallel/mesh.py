@@ -36,6 +36,28 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_global_mesh(per_host_batch: int, n_model: int = 1) -> Mesh:
+    """('data', 'model') mesh spanning ALL processes, with each host's devices
+    contiguous along 'data' so `shard_batch` maps host b's local batch to
+    global rows [b*bs : (b+1)*bs]. The per-host 'data' extent is
+    gcd(per_host_batch, local_device_count) so the local batch always divides
+    onto the local mesh slice."""
+    import math
+
+    local_n = max(1, math.gcd(per_host_batch, jax.local_device_count()))
+    devs: list = []
+    for p in range(jax.process_count()):
+        pdevs = [d for d in jax.devices() if d.process_index == p]
+        devs.extend(pdevs[:local_n])
+    return make_mesh(
+        n_data=local_n * jax.process_count(), n_model=n_model, devices=devs
+    )
+
+
+def spans_processes(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
@@ -45,12 +67,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place every leaf with its leading (batch) axis sharded over 'data'."""
+    """Place every leaf with its leading (batch) axis sharded over 'data'.
+
+    Multi-process: each host passes its LOCAL batch; the result is a global
+    array of leading dim bs*process_count (host_local_array_to_global_array
+    over DCN — the jax analog of DistributedSampler + NCCL scatter)."""
+    if spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            batch, mesh, P("data")
+        )
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh (all processes
+    must hold identical values — same-seed init or restored checkpoint)."""
+    if spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(tree, mesh, P())
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def unshard_rows(tree: Any, mesh: Mesh) -> Any:
+    """Inverse of shard_batch: global 'data'-sharded arrays -> this host's
+    local rows as numpy."""
+    if spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        tree = multihost_utils.global_array_to_host_local_array(
+            tree, mesh, P("data")
+        )
+    return jax.device_get(tree)

@@ -120,9 +120,6 @@ def ate_rmse(traj: np.ndarray, gt: np.ndarray, align_scale: bool = True) -> floa
     """Absolute trajectory error (RMSE of camera centers) after Umeyama
     similarity alignment — the benchmark metric for BASELINE config 4."""
     # camera centers: C = -R^T t
-    def centers(T):
-        return -np.einsum("nij,ni->nj", T[:, :3, :3].transpose(0, 2, 1) @ np.eye(3), T[:, :3, 3])
-
     c_est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in traj])
     c_gt = np.stack([-T[:3, :3].T @ T[:3, 3] for T in gt])
 

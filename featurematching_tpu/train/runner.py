@@ -21,7 +21,14 @@ import numpy as np
 
 from featurematching_tpu.config import Config
 from featurematching_tpu.data.loader import BatchLoader
-from featurematching_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from featurematching_tpu.parallel.mesh import (
+    batch_sharding,
+    make_global_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+    unshard_rows,
+)
 from featurematching_tpu.train.optimizer import build_optimizer
 from featurematching_tpu.train.step import (
     TrainState,
@@ -102,11 +109,9 @@ class Runner:
         self.writer = MetricWriter(os.path.join(workdir, "logs"))
         self.ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
 
-        # the 'data' axis cannot exceed what the per-host batch divides into
-        import math
-
-        n_data = math.gcd(cfg.trainer.batch_size, jax.local_device_count())
-        self.mesh = make_mesh(n_data=n_data)
+        # global ('data','model') mesh over every process's devices; the
+        # per-host 'data' extent divides the per-host batch
+        self.mesh = make_global_mesh(cfg.trainer.batch_size)
         global_bs = cfg.trainer.batch_size * jax.process_count()
 
         try:
@@ -132,15 +137,72 @@ class Runner:
 
         self.train_step = jax.jit(make_train_step(self.model, cfg))
         self.eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self.val_step = self._make_val_step()
         self.best_auc = -1.0
+
+    def _make_val_step(self):
+        """One jit covering eval forward + epipolar errors + RANSAC pose —
+        keeping every per-pair metric in-graph so it works SPMD on a
+        multi-process mesh (no eager ops on non-addressable arrays)."""
+        eval_fn = make_eval_step(self.model, self.cfg)
+        rcfg = self.cfg.trainer.ransac
+
+        def val_step(state, batch, key):
+            out, losses = eval_fn(state, batch)
+            epi = compute_symmetrical_epipolar_errors(
+                out.fine.mkpts0_f, out.fine.mkpts1_f, out.coarse.mask,
+                batch["T_0to1"], batch["K0"], batch["K1"],
+            )
+            pose = compute_pose_errors(
+                out.fine.mkpts0_f, out.fine.mkpts1_f, out.coarse.mask,
+                batch["T_0to1"], batch["K0"], batch["K1"], key,
+                pixel_thr=rcfg.pixel_thr,
+                num_hypotheses=rcfg.num_hypotheses,
+            )
+            per_pair = {
+                "epi": epi.astype(jnp.float32),
+                "mask": out.coarse.mask,
+                "R_errs": pose["R_errs"].astype(jnp.float32),
+                "t_errs": pose["t_errs"].astype(jnp.float32),
+            }
+            return losses.loss, per_pair
+
+        return jax.jit(
+            val_step,
+            out_shardings=(
+                replicated(self.mesh),
+                jax.tree.map(
+                    lambda _: batch_sharding(self.mesh),
+                    {"epi": 0, "mask": 0, "R_errs": 0, "t_errs": 0},
+                ),
+            ),
+        )
+
+    @staticmethod
+    def _global_batch_count(n_local: int, reduce: str) -> int:
+        """Agree on a common per-epoch batch count across hosts: every
+        val/train step is a collective over the global mesh, so all hosts
+        MUST run the same number of steps (min for train = drop stragglers,
+        max for val = pad and discard)."""
+        if jax.process_count() == 1:
+            return n_local
+        from featurematching_tpu.parallel import collectives
+
+        counts = collectives.all_gather_arrays(
+            np.asarray([n_local], np.int64)
+        ).reshape(-1)
+        return int(counts.min() if reduce == "min" else counts.max())
 
     def fit(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.trainer.num_epochs
         rng = jax.random.PRNGKey(cfg.trainer.seed + 1)
         last_val: Dict[str, float] = {}
+        nb_train = self._global_batch_count(len(self.train_loader), "min")
         for epoch in range(num_epochs):
-            for batch in self.train_loader.epoch(epoch):
+            for bi, batch in enumerate(self.train_loader.epoch(epoch)):
+                if bi >= nb_train:
+                    break
                 rng, step_rng = jax.random.split(rng)
                 sbatch = shard_batch(
                     jax.tree.map(jnp.asarray, batch), self.mesh
@@ -160,35 +222,72 @@ class Runner:
 
     def validate(self, epoch: int = 0) -> Dict[str, float]:
         """Val epoch: losses + epipolar/pose metrics + AUC aggregation
-        (lightning_new.py:266-312)."""
-        agg = {"identifiers": [], "R_errs": [], "t_errs": [], "epi_errs": []}
-        losses = []
-        key = jax.random.PRNGKey(0)
-        for bi, batch in enumerate(self.val_loader.epoch(0)):
-            jbatch = jax.tree.map(jnp.asarray, batch)
-            out, loss = self.eval_step(self.state, jbatch)
-            losses.append(float(loss.loss))
-            epi = compute_symmetrical_epipolar_errors(
-                out.fine.mkpts0_f, out.fine.mkpts1_f, out.coarse.mask,
-                jbatch["T_0to1"], jbatch["K0"], jbatch["K1"],
-            )
-            key, k2 = jax.random.split(key)
-            pose = compute_pose_errors(
-                out.fine.mkpts0_f, out.fine.mkpts1_f, out.coarse.mask,
-                jbatch["T_0to1"], jbatch["K0"], jbatch["K1"], k2,
-                pixel_thr=self.cfg.trainer.ransac.pixel_thr,
-                num_hypotheses=self.cfg.trainer.ransac.num_hypotheses,
-            )
-            epi_np = np.asarray(epi)
-            mask_np = np.asarray(out.coarse.mask)
-            for b in range(epi_np.shape[0]):
-                agg["identifiers"].append(int(batch["pair_id"][b]))
-                agg["epi_errs"].append(epi_np[b][mask_np[b]])
-            agg["R_errs"].extend(np.asarray(pose["R_errs"]).tolist())
-            agg["t_errs"].extend(np.asarray(pose["t_errs"]).tolist())
+        (lightning_new.py:266-312).
 
+        Per-pair metrics are kept as fixed-shape arrays and gathered across
+        hosts (collectives.gather_concat_arrays) before aggregation — the
+        reference's all-rank pickled gather (lightning_new.py:291-295) — so
+        every host computes identical AUCs and makes the same best-checkpoint
+        decision.
+        """
+        ids_l, R_l, t_l, epi_l, mask_l, losses = [], [], [], [], [], []
+        key = jax.random.PRNGKey(0)
+        nb = self._global_batch_count(len(self.val_loader), "max")
+        it = iter(self.val_loader.epoch(0))
+        batch = None
+        for bi in range(nb):
+            nxt = next(it, None)
+            real = nxt is not None
+            if real:
+                batch = nxt
+            elif batch is None:
+                raise ValueError(
+                    "validate: this host's val shard is empty but other hosts "
+                    "have batches — give every host at least one val batch"
+                )
+            # padded rounds re-run the last local batch (the collective step
+            # must execute on every host) and drop its rows from the metrics
+            sbatch = shard_batch(jax.tree.map(jnp.asarray, batch), self.mesh)
+            key, k2 = jax.random.split(key)
+            loss, per_pair = self.val_step(self.state, sbatch, k2)
+            if not real:
+                continue
+            losses.append(float(loss))
+            local = unshard_rows(per_pair, self.mesh)  # this host's rows
+            ids_l.append(np.asarray(batch["pair_id"], np.int64))
+            epi_l.append(np.asarray(local["epi"], np.float32))
+            mask_l.append(np.asarray(local["mask"], bool))
+            R_l.append(np.asarray(local["R_errs"], np.float32))
+            t_l.append(np.asarray(local["t_errs"], np.float32))
+
+        def cat(chunks, dtype, ncol=None):
+            if chunks:
+                return np.concatenate(chunks, 0)
+            shape = (0,) if ncol is None else (0, ncol)
+            return np.zeros(shape, dtype)
+
+        from featurematching_tpu.parallel import collectives
+
+        M = mask_l[0].shape[1] if mask_l else 0
+        ids = collectives.gather_concat_arrays(cat(ids_l, np.int64))
+        R_errs = collectives.gather_concat_arrays(cat(R_l, np.float32))
+        t_errs = collectives.gather_concat_arrays(cat(t_l, np.float32))
+        epi = collectives.gather_concat_arrays(cat(epi_l, np.float32, M))
+        masks = collectives.gather_concat_arrays(cat(mask_l, bool, M))
+        loss_stats = collectives.gather_concat_arrays(
+            np.asarray(losses, np.float64)
+        )
+
+        agg = {
+            "identifiers": [int(i) for i in ids],
+            "R_errs": R_errs.tolist(),
+            "t_errs": t_errs.tolist(),
+            "epi_errs": [epi[b][masks[b]] for b in range(epi.shape[0])],
+        }
         results = aggregate_metrics(agg, self.cfg.trainer.ransac.epi_err_thr)
-        results["val/loss"] = float(np.mean(losses)) if losses else float("nan")
+        results["val/loss"] = (
+            float(loss_stats.mean()) if loss_stats.size else float("nan")
+        )
         step = int(jax.device_get(self.state.step))
         self.writer.write(step, {f"val/{k}": v for k, v in results.items()})
         self.log.info(f"val epoch {epoch}: {results}")

@@ -40,6 +40,66 @@ WORKER = textwrap.dedent(
 ).replace("__REPO__", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+VALIDATE_WORKER = textwrap.dedent(
+    """
+    import os, sys, json, dataclasses
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    workdir = sys.argv[4]
+    jax.distributed.initialize(
+        "localhost:" + port, num_processes=nproc, process_id=pid
+    )
+    sys.path.insert(0, "__REPO__")
+    import numpy as np
+    from featurematching_tpu.config import tiny_test_config
+    from featurematching_tpu.data.loader import BatchLoader
+    from featurematching_tpu.data.synthetic import synthetic_batch
+    from featurematching_tpu.train.runner import Runner
+
+    class DS:
+        def __init__(self, n, seed):
+            rng = np.random.default_rng(seed)
+            b = synthetic_batch(rng, batch_size=n, image_size=(64, 96),
+                                channels=1, num_gt=64)
+            self.samples = [
+                {k: v[i] for k, v in b.items()} | {"pair_id": np.int32(i)}
+                for i in range(n)
+            ]
+        def __len__(self):
+            return len(self.samples)
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        trainer=dataclasses.replace(
+            cfg.trainer, batch_size=2, steps_per_epoch=2, num_epochs=1,
+            ransac=dataclasses.replace(cfg.trainer.ransac, num_hypotheses=64),
+        ),
+    )
+    tl = BatchLoader(DS(8, 0), 2)
+    # n=7 val pairs: host shards are 4 vs 3 -> 2 vs 1 batches (ragged), so this
+    # exercises padded collective rounds + gather_concat_arrays trimming
+    vl = BatchLoader(DS(7, 1), 2, shuffle=False)
+    assert {len(tl), len(vl)} <= {1, 2}, (len(tl), len(vl))
+    runner = Runner(cfg, tl, vl, workdir=workdir + f"/rank{pid}")
+    saves = []
+    runner.ckpt.save = lambda step, state: saves.append(int(step))
+    results = runner.validate(0)
+    line = json.dumps(
+        {k: round(float(v), 12) for k, v in sorted(results.items())},
+        sort_keys=True,
+    )
+    print("RESULTS", line)
+    print("SAVED", len(saves))
+    print("OK", pid)
+    """
+).replace("__REPO__", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -70,3 +130,38 @@ class TestMultihostCollectives:
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
             assert f"OK {i}" in out
+
+    def test_two_process_validate_identical(self, tmp_path):
+        """Ragged val shards (2 vs 1 batches): both ranks must aggregate the
+        SAME metrics and make the SAME best-checkpoint decision
+        (VERDICT round-1 item 5; reference lightning_new.py:291-295)."""
+        worker = tmp_path / "val_worker.py"
+        worker.write_text(VALIDATE_WORKER)
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", str(port),
+                 str(tmp_path)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out.decode())
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+            assert f"OK {i}" in out
+        res = [
+            [l for l in out.splitlines() if l.startswith("RESULTS ")][0]
+            for out in outs
+        ]
+        assert res[0] == res[1], f"rank results diverge:\n{res[0]}\n{res[1]}"
+        saved = [
+            [l for l in out.splitlines() if l.startswith("SAVED ")][0]
+            for out in outs
+        ]
+        assert saved[0] == saved[1] == "SAVED 1"
