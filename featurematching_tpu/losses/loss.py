@@ -90,12 +90,15 @@ def compute_fine_loss(
     m0 = spv_mask & (expec_f_gt_0[..., 0] != 0)
     m1 = spv_mask & (expec_f_gt_1[..., 0] != 0)
     # stop-gradient on the std weights ("avoid minimizing loss through
-    # increasing std", loss.py:83-84)
+    # increasing std", loss.py:83-84). NOTE the normalizer is the mean of
+    # inv-std over ALL real rows (reference loss.py:85-86 divides by
+    # torch.mean over the full M), not just the nonzero-GT rows it later
+    # selects — spv_mask is our "all real rows" equivalent.
     w0 = jax.lax.stop_gradient(
-        jnp.nan_to_num(inv0 / jnp.maximum(_masked_mean(inv0, m0), 1e-10))
+        jnp.nan_to_num(inv0 / jnp.maximum(_masked_mean(inv0, spv_mask), 1e-10))
     )
     w1 = jax.lax.stop_gradient(
-        jnp.nan_to_num(inv1 / jnp.maximum(_masked_mean(inv1, m1), 1e-10))
+        jnp.nan_to_num(inv1 / jnp.maximum(_masked_mean(inv1, spv_mask), 1e-10))
     )
 
     off0 = jnp.sum(((mkpts0_f[..., :2] - expec_f_gt_0) / window) ** 2, axis=-1)
@@ -132,7 +135,14 @@ def compute_pose_metric_old(
     cfg: LossConfig,
 ) -> jnp.ndarray:
     """log(1 + R_err + t_err) averaged over both directions (loss.py:144-154).
-    Metric only — the reference never adds it to the total (loss.py:169)."""
+    Metric only — the reference never adds it to the total (loss.py:169).
+
+    NOTE: the reference's call site unpacks `t_err, R_err = relative_pose_
+    error(...)` (loss.py:145-148) while the function returns (R_err, t_err),
+    silently swapping the two in its r_weight/t_weight blend; and its t_err
+    there is the absolute translation L2, not the angular error. We keep the
+    intended order (R with r_weight) — a deliberate bug-fix divergence, same
+    policy as the swin_v1 dispatch fix."""
     R_err_f, t_err_f = relative_pose_error(
         T_0to1, T_0to1_pred[..., :3, :3], T_0to1_pred[..., :3, 3]
     )

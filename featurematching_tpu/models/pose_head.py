@@ -107,24 +107,34 @@ class PosePredNew(nn.Module):
 
     @nn.compact
     def __call__(self, feat_c0: jnp.ndarray, feat_c1: jnp.ndarray):
-        """Returns (T_0to1_pred, T_1to0_pred, quat_pred [B,2,4], trans_pred [B,2,3])."""
+        """Returns (T_0to1_pred, T_1to0_pred, quat_pred [B,2,4], trans_pred [B,2,3]).
+
+        Mirrors the reference computation exactly (pose_pred_new.py:171-199):
+        the two downsampled maps are stacked on the BATCH axis (each direction
+        predicted from one image's features), normed over 2C, projected to 7
+        channels, and global-mean-pooled. The reference then applies
+        nn.Softmax(dim=0) over the stacked [2, 4] quaternion rows — i.e. per
+        component ACROSS the two directions, not across quat components
+        (:169,189); that only makes sense for B=1, so here it is the batched
+        generalization: softmax over the direction axis within each pair.
+        """
         h, w = self.size
+        B = feat_c0.shape[0]
         f0, f1 = LocalFeatureTransformer(
             self.d_model, self.nhead, self.layer_names, self.attention,
             self.dtype, name="transformer",
         )(feat_c0, feat_c1)
         down = PatchMerging(self.d_model, self.dtype, name="downsample")
-        f0d = down(f0, h, w).reshape(f0.shape[0], h // 2, w // 2, -1)
-        f1d = down(f1, h, w).reshape(f1.shape[0], h // 2, w // 2, -1)
-        cat = jnp.concatenate([f0d, f1d], axis=-1)
+        f0d = down(f0, h, w).reshape(B, h // 2, w // 2, -1)
+        f1d = down(f1, h, w).reshape(B, h // 2, w // 2, -1)
+        cat = jnp.concatenate([f0d, f1d], axis=0)  # [2B, h/2, w/2, 2C]
         out = nn.LayerNorm(dtype=self.dtype, name="norm")(cat)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="head")(out)
-        out = nn.Dense(14, dtype=self.dtype, name="pose_conv")(out)
-        out = jnp.mean(out, axis=(1, 2)).astype(jnp.float32)  # [B, 14]
-        out = out.reshape(-1, 2, 7)
+        out = nn.Dense(7, dtype=self.dtype, name="pose_conv")(out)  # 1x1 conv
+        out = jnp.mean(out, axis=(1, 2)).astype(jnp.float32)  # [2B, 7]
+        out = jnp.stack([out[:B], out[B:]], axis=1)  # [B, 2, 7]
         trans = out[..., :3]  # [B, 2, 3]
-        quat = nn.softmax(out[..., 3:], axis=-1)  # reference normalizes via softmax
-        B = out.shape[0]
+        quat = nn.softmax(out[..., 3:], axis=1)  # over the direction axis
 
         def to_T(q, t):
             R = quat_to_matrix(q)

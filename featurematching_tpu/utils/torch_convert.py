@@ -171,6 +171,33 @@ def convert_swin_unet(
     return params
 
 
+def _conv1x1_as_dense(sd: SD, prefix: str) -> Dict[str, np.ndarray]:
+    """Conv2d(kernel 1x1) [O, I, 1, 1] -> Dense kernel [I, O]."""
+    w = sd[prefix + ".weight"]
+    out = {"kernel": np.ascontiguousarray(w[:, :, 0, 0].T)}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def convert_pose_pred(sd: SD, num_layers: int, prefix: str = "") -> Dict:
+    """Reference Pose_Pred / Pose_Pred_new (pose_pred.py:153-169,
+    pose_pred_new.py:156-169 — identical module skeleton, 12 vs 7 output
+    channels) -> our PosePredOld / PosePredNew params."""
+    return {
+        "transformer": convert_local_feature_transformer(
+            sd, num_layers, prefix + "featuretransformer."
+        ),
+        "downsample": {
+            "norm": _ln(sd, prefix + "downsample.norm"),
+            "reduction": _dense(sd, prefix + "downsample.reduction", bias=False),
+        },
+        "norm": _ln(sd, prefix + "norm"),
+        "head": _dense(sd, prefix + "head"),
+        "pose_conv": _conv1x1_as_dense(sd, prefix + "pose_conv"),
+    }
+
+
 def convert_matcher(
     sd: SD,
     coarse_layers: int = 8,
@@ -213,4 +240,16 @@ def convert_matcher(
         params["fine_merge"] = _dense(sd, "fine_preprocess.merge_feat")
     params["mix_feat_0"] = _dense(sd, "fine_matching.mix_feat_0")
     params["mix_feat_1"] = _dense(sd, "fine_matching.mix_feat_1")
+    if any(k.startswith("pose_pred.") for k in sd):
+        n_pose_layers = (
+            max(
+                int(k.split("featuretransformer.layers.")[1].split(".")[0])
+                for k in sd
+                if "pose_pred.featuretransformer.layers." in k
+            )
+            + 1
+        )
+        params["pose_pred"] = convert_pose_pred(
+            sd, n_pose_layers, prefix="pose_pred."
+        )
     return params, stats

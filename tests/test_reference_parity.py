@@ -57,9 +57,74 @@ def _install_timm_shim():
     sys.modules["timm.models.layers"] = layers
 
 
+def _install_loguru_shim():
+    if "loguru" in sys.modules:
+        return
+    shim = types.ModuleType("loguru")
+
+    class _Logger:
+        def warning(self, *a, **k):
+            pass
+
+        info = debug = error = warning
+
+    shim.logger = _Logger()
+    sys.modules["loguru"] = shim
+
+
+def _install_kornia_shim():
+    """kornia isn't in this image; provide the two symbols the reference's
+    fine matching uses, implemented to kornia's documented semantics:
+    create_meshgrid (x,y order, [-1,1] inclusive) and
+    dsnt.spatial_expectation2d (probability-weighted grid expectation)."""
+    if "kornia" in sys.modules:
+        return
+    import torch as _t
+
+    kornia = types.ModuleType("kornia")
+    geometry = types.ModuleType("kornia.geometry")
+    subpix = types.ModuleType("kornia.geometry.subpix")
+    dsnt = types.ModuleType("kornia.geometry.subpix.dsnt")
+    utils = types.ModuleType("kornia.utils")
+    grid_mod = types.ModuleType("kornia.utils.grid")
+
+    def create_meshgrid(H, W, normalized_coordinates=True, device=None, dtype=None):
+        if normalized_coordinates:
+            xs = _t.linspace(-1.0, 1.0, W, device=device, dtype=dtype)
+            ys = _t.linspace(-1.0, 1.0, H, device=device, dtype=dtype)
+        else:
+            xs = _t.arange(W, device=device, dtype=dtype or _t.float32)
+            ys = _t.arange(H, device=device, dtype=dtype or _t.float32)
+        gy, gx = _t.meshgrid(ys, xs, indexing="ij")
+        return _t.stack([gx, gy], dim=-1)[None]  # [1, H, W, 2] (x, y)
+
+    def spatial_expectation2d(heatmap, normalized_coordinates=True):
+        B, N, H, W = heatmap.shape
+        grid = create_meshgrid(
+            H, W, normalized_coordinates, heatmap.device, heatmap.dtype
+        ).reshape(1, 1, H * W, 2)
+        return (heatmap.reshape(B, N, H * W, 1) * grid).sum(2)  # [B, N, 2]
+
+    grid_mod.create_meshgrid = create_meshgrid
+    dsnt.spatial_expectation2d = spatial_expectation2d
+    subpix.dsnt = dsnt
+    geometry.subpix = subpix
+    utils.grid = grid_mod
+    kornia.geometry = geometry
+    kornia.utils = utils
+    sys.modules["kornia"] = kornia
+    sys.modules["kornia.geometry"] = geometry
+    sys.modules["kornia.geometry.subpix"] = subpix
+    sys.modules["kornia.geometry.subpix.dsnt"] = dsnt
+    sys.modules["kornia.utils"] = utils
+    sys.modules["kornia.utils.grid"] = grid_mod
+
+
 def _load_ref_module(name: str, relpath: str):
     """Import a reference module as part of its package (relative imports)."""
     _install_timm_shim()
+    _install_loguru_shim()
+    _install_kornia_shim()
     if REF not in sys.path:
         sys.path.insert(0, REF)
     import importlib
@@ -244,6 +309,314 @@ class TestCoarseMatchingParity:
                 np.testing.assert_allclose(
                     np.asarray(matches.mkpts0_c[0][k]), ref_kpts0[rk], atol=1e-4
                 )
+
+
+class TestFineMatchingParity:
+    def test_soft_argmax_refinement_vs_reference(self, rng):
+        """Reference FineMatching (kornia-dsnt path, fine_matching_new.py:50-79)
+        as oracle for our fine_soft_argmax: same mixed features -> identical
+        subpixel keypoints + std column."""
+        ref_mod = _load_ref_module("ref_fine", "network/utils/fine_matching_new.py")
+        torch.manual_seed(3)
+        ref = ref_mod.FineMatching({"d_model": 32}).eval()
+
+        import jax.numpy as jnp
+
+        from featurematching_tpu.matching.fine import fine_soft_argmax
+
+        M, W, C = 12, 7, 32
+        WW = W * W
+        feat0 = rng.standard_normal((M, WW, C)).astype(np.float32)
+        feat1 = rng.standard_normal((M, WW, C)).astype(np.float32)
+        mk0 = rng.uniform(50, 400, (M, 2)).astype(np.float32)
+        mk1 = rng.uniform(50, 400, (M, 2)).astype(np.float32)
+        data = {
+            "hw0_i": (480, 640), "hw0_f": (240, 320),
+            "mkpts0_c": torch.from_numpy(mk0),
+            "mkpts1_c": torch.from_numpy(mk1),
+        }
+        with torch.no_grad():
+            ref(torch.from_numpy(feat0), torch.from_numpy(feat1), data)
+
+        # apply the reference's 49->1 mixers by hand (they live in our Matcher)
+        w0 = ref.mix_feat_0.weight.detach().numpy()[0]  # [49]
+        b0 = ref.mix_feat_0.bias.detach().numpy()[0]
+        w1 = ref.mix_feat_1.weight.detach().numpy()[0]
+        b1 = ref.mix_feat_1.bias.detach().numpy()[0]
+        mixed0 = np.einsum("mrc,r->mc", feat0, w0) + b0
+        mixed1 = np.einsum("mrc,r->mc", feat1, w1) + b1
+
+        fine = fine_soft_argmax(
+            jnp.asarray(mixed0[None]), jnp.asarray(mixed1[None]),
+            jnp.asarray(feat0[None]), jnp.asarray(feat1[None]),
+            jnp.asarray(mk0[None]), jnp.asarray(mk1[None]),
+            window=W, img_to_fine_scale=2.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fine.mkpts0_f[0]), data["mkpts0_f"].numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fine.mkpts1_f[0]), data["mkpts1_f"].numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+class TestPoseHeadParity:
+    def _feats(self, rng, B, L, C=256):
+        f0 = (rng.standard_normal((B, L, C)) * 0.5).astype(np.float32)
+        f1 = (rng.standard_normal((B, L, C)) * 0.5).astype(np.float32)
+        return f0, f1
+
+    def test_pose_pred_old_parity(self, rng):
+        """Reference Pose_Pred (pose_pred.py:196-227) with converted weights;
+        cv-blend weights 0 so the mid-forward OpenCV call contributes nothing."""
+        ref_mod = _load_ref_module("ref_pose_old", "network/utils/pose_pred.py")
+        h, w = 8, 8
+        cfg = {
+            "size": (h, w), "axis_w": 1.0, "trans_w": 1.0,
+            "axis_w_cv": 0.0, "trans_w_cv": 0.0,
+            "d_model": 256, "nhead": 8,
+            "layer_names": ["self", "cross"], "attention": "linear",
+        }
+        torch.manual_seed(7)
+        ref = ref_mod.Pose_Pred(cfg).eval()
+
+        import jax.numpy as jnp
+
+        from featurematching_tpu.models.pose_head import PosePredOld
+        from featurematching_tpu.utils.torch_convert import convert_pose_pred
+
+        f0, f1 = self._feats(rng, 1, h * w)
+        kp = rng.uniform(10, 300, (24, 2)).astype(np.float32)
+        data = {
+            "mkpts0_f": torch.from_numpy(kp),
+            "mkpts1_f": torch.from_numpy(kp + rng.normal(0, 2, kp.shape).astype(np.float32)),
+            "K0": torch.eye(3)[None] * 300,
+        }
+        with torch.no_grad():
+            ref(torch.from_numpy(f0), torch.from_numpy(f1), data)
+
+        ours = PosePredOld(
+            d_model=256, nhead=8, layer_names=("self", "cross"),
+            attention="linear", size=(h, w),
+        )
+        params = convert_pose_pred(_sd_numpy(ref), 2)
+        T01, T10 = ours.apply(
+            {"params": params}, jnp.asarray(f0), jnp.asarray(f1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(T01[0]), data["T_0to1_pred"][0].numpy(), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(T10[0]), data["T_1to0_pred"][0].numpy(), rtol=2e-3, atol=2e-3
+        )
+
+    def test_pose_pred_new_parity(self, rng):
+        """Reference Pose_Pred_new (pose_pred_new.py:171-214): batch-stacked
+        maps, 7-ch head, softmax over the direction axis, scipy quat -> R."""
+        ref_mod = _load_ref_module("ref_pose_new", "network/utils/pose_pred_new.py")
+        h, w = 8, 8
+        cfg = {
+            "size": (h, w), "axis_w": 1.0, "trans_w": 1.0,
+            "d_model": 256, "nhead": 8,
+            "layer_names": ["cross", "cross"], "attention": "linear",
+        }
+        torch.manual_seed(11)
+        ref = ref_mod.Pose_Pred_new(cfg).eval()
+
+        import jax.numpy as jnp
+
+        from featurematching_tpu.models.pose_head import PosePredNew
+        from featurematching_tpu.utils.torch_convert import convert_pose_pred
+
+        f0, f1 = self._feats(rng, 1, h * w)
+        data = {}
+        with torch.no_grad():
+            ref(torch.from_numpy(f0), torch.from_numpy(f1), data)
+
+        ours = PosePredNew(
+            d_model=256, nhead=8, layer_names=("cross", "cross"),
+            attention="linear", size=(h, w),
+        )
+        params = convert_pose_pred(_sd_numpy(ref), 2)
+        T01, T10, quat, trans = ours.apply(
+            {"params": params}, jnp.asarray(f0), jnp.asarray(f1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(quat[0]), data["quot_pred"][0].numpy(), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(trans[0]), data["translate_pred"][0].numpy(),
+            rtol=2e-3, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(T01[0]), data["T_0to1_pred"][0].numpy(), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(T10[0]), data["T_1to0_pred"][0].numpy(), rtol=2e-3, atol=2e-4
+        )
+
+
+class TestLossParity:
+    def _ref_loss(self, coarse_type="focal", sparse=False):
+        ref_mod = _load_ref_module("ref_loss", "losses.loss".replace(".", "/") + ".py")
+        cfg = {
+            "module": {
+                "loss": {
+                    "fine_correct_thr": 1.0, "pos_weight": 1.0, "neg_weight": 1.0,
+                    "pose_loss_cal_flag": "none", "coarse_type": coarse_type,
+                    "focal_alpha": 0.25, "focal_gamma": 2.0,
+                    "coarse_weight": 1.0, "fine_weight": 1.0,
+                    "r_weight": 1.0, "t_weight": 1.0,
+                },
+                "match_coarse": {"sparse_spvs": sparse},
+            }
+        }
+        return ref_mod.Loss(cfg).eval()
+
+    def _conf_pair(self, rng, L=24, S=24, n_pos=5):
+        conf = rng.uniform(0.01, 0.99, (1, L, S)).astype(np.float32)
+        gt = np.zeros((1, L, S), np.float32)
+        ii = rng.choice(L, n_pos, replace=False)
+        jj = rng.choice(S, n_pos, replace=False)
+        gt[0, ii, jj] = 1.0
+        return conf, gt
+
+    @pytest.mark.parametrize(
+        "coarse_type,sparse",
+        [("focal", False), ("focal", True), ("cross_entropy", False)],
+    )
+    def test_coarse_loss_value_parity(self, rng, coarse_type, sparse):
+        ref = self._ref_loss(coarse_type, sparse)
+        conf, gt = self._conf_pair(rng)
+        with torch.no_grad():
+            ref_val = ref.compute_coarse_loss(
+                torch.from_numpy(conf), torch.from_numpy(gt)
+            ).item()
+
+        import jax.numpy as jnp
+
+        from featurematching_tpu.config import LossConfig
+        from featurematching_tpu.losses.loss import compute_coarse_loss
+
+        cfg = LossConfig(coarse_type=coarse_type, sparse_spvs=sparse)
+        ours = float(
+            compute_coarse_loss(jnp.asarray(conf), jnp.asarray(gt), cfg)
+        )
+        np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+    def test_fine_loss_value_parity(self, rng):
+        """Std-weighted fine loss incl. the all-rows inv-std normalizer and
+        nonzero-GT row selection (loss.py:70-98)."""
+        ref = self._ref_loss()
+        M = 16
+        mk0 = np.concatenate(
+            [rng.uniform(0, 100, (M, 2)), rng.uniform(0.1, 2.0, (M, 1))], -1
+        ).astype(np.float32)
+        mk1 = np.concatenate(
+            [rng.uniform(0, 100, (M, 2)), rng.uniform(0.1, 2.0, (M, 1))], -1
+        ).astype(np.float32)
+        gt0 = rng.uniform(0, 100, (M, 2)).astype(np.float32)
+        gt1 = rng.uniform(0, 100, (M, 2)).astype(np.float32)
+        gt0[5:9] = 0.0  # rows the reference drops (x == 0)
+        gt1[2:4] = 0.0
+        with torch.no_grad():
+            ref_val = ref.compute_fine_loss(
+                torch.from_numpy(mk0), torch.from_numpy(mk1),
+                torch.from_numpy(gt0), torch.from_numpy(gt1),
+            ).item()
+
+        import jax.numpy as jnp
+
+        from featurematching_tpu.losses.loss import compute_fine_loss
+
+        ours = float(
+            compute_fine_loss(
+                jnp.asarray(mk0[None]), jnp.asarray(mk1[None]),
+                jnp.asarray(gt0[None]), jnp.asarray(gt1[None]),
+                jnp.ones((1, M), bool), window=7,
+            )
+        )
+        np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+    def test_fine_loss_padding_invariance(self, rng):
+        """Padded rows (spv_mask False) must not change the loss — the
+        fixed-shape equivalent of the reference's dynamic M."""
+        import jax.numpy as jnp
+
+        from featurematching_tpu.losses.loss import compute_fine_loss
+
+        M, P = 12, 8
+        mk = lambda n: np.concatenate(
+            [rng.uniform(0, 100, (n, 2)), rng.uniform(0.1, 2.0, (n, 1))], -1
+        ).astype(np.float32)
+        mk0, mk1 = mk(M), mk(M)
+        gt0 = rng.uniform(1, 100, (M, 2)).astype(np.float32)
+        gt1 = rng.uniform(1, 100, (M, 2)).astype(np.float32)
+        base = float(
+            compute_fine_loss(
+                jnp.asarray(mk0[None]), jnp.asarray(mk1[None]),
+                jnp.asarray(gt0[None]), jnp.asarray(gt1[None]),
+                jnp.ones((1, M), bool), window=7,
+            )
+        )
+        pad = lambda a: np.concatenate(
+            [a, np.full((P,) + a.shape[1:], 7.7, a.dtype)]
+        )
+        mask = np.concatenate([np.ones(M, bool), np.zeros(P, bool)])
+        padded = float(
+            compute_fine_loss(
+                jnp.asarray(pad(mk0)[None]), jnp.asarray(pad(mk1)[None]),
+                jnp.asarray(pad(gt0)[None]), jnp.asarray(pad(gt1)[None]),
+                jnp.asarray(mask[None]), window=7,
+            )
+        )
+        np.testing.assert_allclose(padded, base, rtol=1e-5)
+
+    def test_pose_loss_new_value_parity(self, rng):
+        """Quat MSE(sum) + log translation MSE(mean) blend (loss.py:155-165)."""
+        ref = self._ref_loss()
+        quat_pred = rng.uniform(0, 1, (1, 2, 4)).astype(np.float32)
+        trans_pred = rng.standard_normal((1, 2, 3)).astype(np.float32)
+        q01 = rng.uniform(0, 1, (1, 4)).astype(np.float32)
+        q10 = rng.uniform(0, 1, (1, 4)).astype(np.float32)
+        T01 = np.eye(4, dtype=np.float32)
+        T01[:3, 3] = rng.standard_normal(3)
+        T10 = np.eye(4, dtype=np.float32)
+        T10[:3, 3] = rng.standard_normal(3)
+
+        with torch.no_grad():
+            quot_loss = ref.quot_loss(
+                torch.from_numpy(q01), torch.from_numpy(quat_pred[:, 0])
+            )
+            quot_inv = ref.quot_loss(
+                torch.from_numpy(q10), torch.from_numpy(quat_pred[:, 1])
+            )
+            t_loss = ref.translate_loss(
+                torch.from_numpy(T01[:3, 3:].T), torch.from_numpy(trans_pred[:, 0])
+            )
+            t_inv = ref.translate_loss(
+                torch.from_numpy(T10[:3, 3:].T), torch.from_numpy(trans_pred[:, 1])
+            )
+            R_e = (quot_loss + quot_inv) / 2
+            t_e = (t_loss + t_inv) / 2
+            ref_val = float(R_e * 1.0 + torch.log(t_e + 1) * 1.0)
+
+        import jax.numpy as jnp
+
+        from featurematching_tpu.config import LossConfig
+        from featurematching_tpu.losses.loss import compute_pose_loss_new
+
+        ours = float(
+            compute_pose_loss_new(
+                jnp.asarray(quat_pred), jnp.asarray(trans_pred),
+                jnp.asarray(q01), jnp.asarray(q10),
+                jnp.asarray(T01[None, :3, 3]), jnp.asarray(T10[None, :3, 3]),
+                LossConfig(),
+            )
+        )
+        np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
 
 
 class TestPositionalEncodingParity:
