@@ -240,6 +240,29 @@ def tpu_optimized_config() -> Config:
     return Config(model=model)
 
 
+def loftr_tiny_config() -> Config:
+    """Frozen-teacher profile: a coarse-only matcher weight-compatible with the
+    official LoFTR `outdoor_ds.ckpt` as consumed by the reference's LoFTR_tiny
+    (/root/reference/network/module/loftr_tiny.py:244-281): ResNetFPN_8_2 with
+    initial_dim 128 / block_dims (128, 196, 256), grayscale input, 8-layer
+    linear-attention coarse transformer (d=256, h=8), positional encoding ON,
+    dual-softmax matching thr 0.2 / border 2 / T 0.1. Load weights with
+    utils.torch_convert.load_loftr_tiny_checkpoint."""
+    model = ModelConfig(
+        backbone_type="resnet_fpn",
+        input_channels=1,
+        resnet_fpn=ResNetFPNConfig(initial_dim=128, block_dims=(128, 196, 256)),
+        coarse=TransformerConfig(
+            d_model=256, nhead=8, layer_names=("self", "cross") * 4,
+            attention="linear",
+        ),
+        fine=FineMatchConfig(d_model=128),
+        compute_dtype="float32",
+        coarse_only=True,
+    )
+    return Config(model=model)
+
+
 def tiny_test_config() -> Config:
     """A miniature config for fast CPU tests: small images, tiny towers."""
     model = ModelConfig(

@@ -171,6 +171,57 @@ def convert_swin_unet(
     return params
 
 
+def convert_loftr_tiny(sd: SD) -> Tuple[Dict, Dict]:
+    """Official-LoFTR / LoFTR-tiny checkpoint -> coarse-only Matcher variables.
+
+    Handles the naming the reference's LoFTR_tiny consumes
+    (/root/reference/network/module/loftr_tiny.py:107-287): strips the
+    'matcher.' lightning prefix (:283-287), maps `backbone.*` (its
+    ResNetFPN_8_2 is architecturally identical to resnet_fpn.py:46) and
+    `loftr_coarse.*` -> our `coarse_transformer`. Fine-stage keys
+    (loftr_fine / fine_preprocess / fine_matching) are ignored, like the
+    reference's strict=False load of outdoor_ds.ckpt.
+
+    Returns (params, batch_stats) for a Matcher built with
+    config.loftr_tiny_config().
+    """
+    clean: SD = {}
+    for k, v in sd.items():
+        if k.startswith("matcher."):
+            k = k[len("matcher."):]
+        clean[k] = v
+    layer_ids = [
+        int(k.split("loftr_coarse.layers.")[1].split(".")[0])
+        for k in clean
+        if k.startswith("loftr_coarse.layers.")
+    ]
+    if not layer_ids:
+        raise ValueError(
+            "no loftr_coarse.* keys found — not a LoFTR(-tiny) checkpoint"
+        )
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    bb, bs = convert_resnet_fpn(clean, prefix="backbone.")
+    params["backbone"] = bb
+    stats["backbone"] = bs
+    params["coarse_transformer"] = convert_local_feature_transformer(
+        clean, max(layer_ids) + 1, prefix="loftr_coarse."
+    )
+    return params, stats
+
+
+def load_loftr_tiny_checkpoint(path: str) -> Tuple[Dict, Dict]:
+    """torch.load an official LoFTR .ckpt file (e.g. outdoor_ds.ckpt, with its
+    {'state_dict': ...} wrapping) and convert via convert_loftr_tiny."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return convert_loftr_tiny(
+        {k: v.cpu().numpy() for k, v in sd.items() if hasattr(v, "cpu")}
+    )
+
+
 def _conv1x1_as_dense(sd: SD, prefix: str) -> Dict[str, np.ndarray]:
     """Conv2d(kernel 1x1) [O, I, 1, 1] -> Dense kernel [I, O]."""
     w = sd[prefix + ".weight"]

@@ -619,6 +619,90 @@ class TestLossParity:
         np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
 
 
+class TestLoFTRTinyTeacherImport:
+    def test_coarse_only_matcher_reproduces_loftr_tiny(self, rng):
+        """End-to-end teacher import (VERDICT item 7): a randomly-initialized
+        reference LoFTR_tiny (loftr_tiny.py:244-281) converted with
+        convert_loftr_tiny must reproduce conf_matrix + match extraction in
+        our coarse_only Matcher. The out-of-repo `Loftr` package is shimmed
+        with the reference's own transformer.py (the same module the external
+        package provides — verbatim LoFTR upstream code)."""
+        ref_tf = _load_ref_module("ref_transformer3", "network/module/transformer.py")
+        # shim the external Loftr package (loftr_tiny.py:9-11)
+        for name in ("Loftr", "Loftr.src"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        lm = types.ModuleType("Loftr.src.loftr_module")
+        lm.LocalFeatureTransformer = ref_tf.LocalFeatureTransformer
+        cfgmod = types.ModuleType("Loftr.src.cvpr_ds_config")
+        cfgmod.loftr_default_cfg = {}
+        sys.modules["Loftr.src.loftr_module"] = lm
+        sys.modules["Loftr.src.cvpr_ds_config"] = cfgmod
+
+        ref_mod = _load_ref_module("ref_loftr_tiny", "network/module/loftr_tiny.py")
+        coarse_cfg = {
+            "d_model": 256, "nhead": 8,
+            "layer_names": ["self", "cross"], "attention": "linear",
+        }
+        torch.manual_seed(5)
+        ref = ref_mod.LoFTR_tiny({"coarse": coarse_cfg}).eval()
+
+        # checkpoint round-trip through the names the reference strips
+        sd = {"matcher." + k: v for k, v in _sd_numpy(ref).items()}
+
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from featurematching_tpu.config import loftr_tiny_config
+        from featurematching_tpu.models.matcher import Matcher
+        from featurematching_tpu.utils.torch_convert import convert_loftr_tiny
+
+        cfg = loftr_tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                coarse=dataclasses.replace(
+                    cfg.model.coarse, layer_names=("self", "cross")
+                ),
+            ),
+        )
+        params, stats = convert_loftr_tiny(sd)
+
+        H, W = 64, 64
+        img = (rng.uniform(0, 255, (1, 1, H, W))).astype(np.float32)
+        img2 = (rng.uniform(0, 255, (1, 1, H, W))).astype(np.float32)
+        data = {
+            "image0": torch.from_numpy(img), "image1": torch.from_numpy(img2),
+        }
+        with torch.no_grad():
+            ref(data)
+
+        model = Matcher(cfg.model)
+        out = model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            jnp.asarray(img2.transpose(0, 2, 3, 1)),
+            want_conf_matrix=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.conf_matrix[0]),
+            data["conf_matrix"][0].numpy(),
+            rtol=5e-3, atol=5e-5,
+        )
+        ref_pairs = set(
+            zip(data["i_ids"].numpy().tolist(), data["j_ids"].numpy().tolist())
+        )
+        mask = np.asarray(out.coarse.mask[0])
+        got_pairs = set(
+            zip(
+                np.asarray(out.coarse.i_ids[0])[mask].tolist(),
+                np.asarray(out.coarse.j_ids[0])[mask].tolist(),
+            )
+        )
+        assert got_pairs == ref_pairs
+
+
 class TestPositionalEncodingParity:
     def test_sine_pe_matches_reference(self):
         ref_mod = _load_ref_module("ref_pe", "network/utils/position_encoding.py")
