@@ -129,6 +129,64 @@ class StereoCalibrator(Calibrator):
         }
         return self.calib
 
+    def compute_rectification(
+        self, image_size_hw: Tuple[int, int], alpha: float = -1.0
+    ) -> Dict[str, np.ndarray]:
+        """(Re)derive R1/R2/P1/P2/Q for a given image size and free-scaling
+        alpha (reference calibrator.py:198-212 — which passes (h, w) to
+        cv2.stereoRectify; OpenCV documents (w, h), used correctly here)."""
+        import cv2
+
+        for k in ("K1", "D1", "K2", "D2", "R", "T"):
+            if self.calib.get(k) is None:
+                raise ValueError(f"calibration missing {k}; load() or calibrate() first")
+        h, w = image_size_hw
+        R1, R2, P1, P2, Q, roi1, roi2 = cv2.stereoRectify(
+            self.calib["K1"], self.calib["D1"],
+            self.calib["K2"], self.calib["D2"],
+            (w, h),
+            self.calib["R"].astype(np.float64),
+            self.calib["T"].astype(np.float64).reshape(3, 1),
+            alpha=alpha,
+        )
+        self.calib.update({"R1": R1, "R2": R2, "P1": P1, "P2": P2, "Q": Q})
+        self._rect_alpha = alpha
+        self._rect_maps = None
+        return self.calib
+
+    def rectify(
+        self, left: np.ndarray, right: np.ndarray, alpha: float = -1.0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Stereo-rectify an image pair; caches remap tables per (size, alpha)
+        (reference calibrator.py:214-242)."""
+        import cv2
+
+        size_hw = left.shape[:2]
+        if (
+            getattr(self, "_rect_maps", None) is None
+            or getattr(self, "_rect_alpha", None) != alpha
+            or getattr(self, "_rect_size", None) != size_hw
+        ):
+            if self.calib.get("R1") is None or getattr(self, "_rect_alpha", None) != alpha:
+                self.compute_rectification(size_hw, alpha)
+            h, w = size_hw
+            self._rect_maps = (
+                cv2.initUndistortRectifyMap(
+                    self.calib["K1"], self.calib["D1"], self.calib["R1"],
+                    self.calib["P1"], (w, h), cv2.CV_32FC1,
+                ),
+                cv2.initUndistortRectifyMap(
+                    self.calib["K2"], self.calib["D2"], self.calib["R2"],
+                    self.calib["P2"], (w, h), cv2.CV_32FC1,
+                ),
+            )
+            self._rect_size = size_hw
+        (lx, ly), (rx, ry) = self._rect_maps
+        return (
+            cv2.remap(left, lx, ly, cv2.INTER_LINEAR),
+            cv2.remap(right, rx, ry, cv2.INTER_LINEAR),
+        )
+
 
 def undistort(img: np.ndarray, K: np.ndarray, D: np.ndarray, new_K: bool = False):
     """cv2 undistortion, optionally with an optimal new camera matrix
