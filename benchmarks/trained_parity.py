@@ -1,0 +1,502 @@
+"""Trained-quality parity experiment: train the REFERENCE (torch CPU) and
+featurematching_tpu from IDENTICAL initial weights on an IDENTICAL frozen
+synthetic fixture, then evaluate both with the SAME cv2-RANSAC pose/AUC
+machinery (reference utils/metrics.py:79-159, lightning_new.py:277-312).
+
+Design notes
+------------
+* Operating point: tiny ResNetFPN_8_2 (grayscale — the reference's conv1 is
+  hardcoded to 1 input channel, resnet_fpn.py:63), LoFTR coarse 2x(self,cross)
+  linear attention, fine window 7 (the reference hardcodes Linear(49,1) mixers
+  and unfold padding=2), dense focal loss, no pose head, PE off (the reference
+  net.py:66-70 comments positional encoding out).
+* Both frameworks start from the SAME torch random init (convert_matcher) and
+  see the SAME pair order (shared seeded permutation per epoch). The
+  reference's training-time fine sampling is deterministic (it feeds exactly
+  the GT spv ids, coarse_matching_new.py get_coarse_match), so both
+  trajectories differ only by framework numerics.
+* Fixture GT is pre-deduplicated to one pair per coarse cell in BOTH images so
+  the reference's kp1-only np.unique dedup (data_preprocessing.py:10-28) and
+  our dual dedup (matching/supervision.py) are both no-ops — identical
+  supervision targets.
+* Evaluation is a single shared numpy/cv2 implementation applied to each
+  framework's predicted matches: symmetric epipolar distance (metrics.py:33-53)
+  and cv2.findEssentialMat(RANSAC, thr=1.0px)+recoverPose (metrics.py:79-109),
+  aggregated with utils.metrics.error_auc / epidist_prec (metrics.py:162-196).
+
+Run:  python benchmarks/trained_parity.py [--steps-per-epoch N] [--epochs E]
+Emits JSON results and a markdown table row for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---------------------------------------------------------------------------
+# fixture
+# ---------------------------------------------------------------------------
+
+H, W = 96, 128
+COARSE = 8
+NUM_GT = 160  # padded GT capacity (ours); actual rows vary per pair
+
+
+def make_fixture(seed: int, n_train: int, n_val: int) -> List[Dict[str, np.ndarray]]:
+    """Frozen list of pairs. Each: img0/img1 [H,W] f32 in [0,1], kp0/kp1
+    [M,2] (x,y) full-res with unique coarse cells in both images, K, T_0to1,
+    T_1to0."""
+    from featurematching_tpu.data.synthetic import synthetic_batch
+
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for _ in range(n_train + n_val):
+        b = synthetic_batch(
+            rng, batch_size=1, image_size=(H, W), channels=1, num_gt=NUM_GT
+        )
+        kp0 = b["gt_kp0"][0][b["gt_mask"][0]]
+        kp1 = b["gt_kp1"][0][b["gt_mask"][0]]
+        # pre-dedup: one pair per coarse cell in image1 AND image0
+        wc = W // COARSE
+        c0 = (kp0[:, 0] // COARSE).astype(np.int64) + wc * (kp0[:, 1] // COARSE).astype(np.int64)
+        c1 = (kp1[:, 0] // COARSE).astype(np.int64) + wc * (kp1[:, 1] // COARSE).astype(np.int64)
+        _, i1 = np.unique(c1, return_index=True)
+        kp0, kp1, c0 = kp0[i1], kp1[i1], c0[i1]
+        _, i0 = np.unique(c0, return_index=True)
+        kp0, kp1 = kp0[i0], kp1[i0]
+        pairs.append(
+            dict(
+                img0=b["image0"][0, :, :, 0],
+                img1=b["image1"][0, :, :, 0],
+                kp0=kp0.astype(np.float32),
+                kp1=kp1.astype(np.float32),
+                K=b["K0"][0],
+                T_0to1=b["T_0to1"][0],
+                T_1to0=b["T_1to0"][0],
+            )
+        )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# shared evaluation (numpy + cv2) — reference utils/metrics.py formulas
+# ---------------------------------------------------------------------------
+
+def symmetric_epipolar_distance(pts0, pts1, E, K0, K1):
+    """Squared symmetric epipolar distance in normalized coords
+    (reference metrics.py:33-53)."""
+    p0 = (pts0 - K0[[0, 1], [2, 2]][None]) / K0[[0, 1], [0, 1]][None]
+    p1 = (pts1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
+    p0 = np.concatenate([p0, np.ones_like(p0[:, :1])], -1)
+    p1 = np.concatenate([p1, np.ones_like(p1[:, :1])], -1)
+    Ep0 = p0 @ E.T
+    p1Ep0 = np.sum(p1 * Ep0, -1)
+    Etp1 = p1 @ E
+    return p1Ep0**2 * (
+        1.0 / (Ep0[:, 0] ** 2 + Ep0[:, 1] ** 2 + 1e-18)
+        + 1.0 / (Etp1[:, 0] ** 2 + Etp1[:, 1] ** 2 + 1e-18)
+    )
+
+
+def relative_pose_error(T_0to1, R, t):
+    """(t_err_deg, R_err_deg) — reference metrics.py:15-30 with
+    ignore_gt_t_thr=0."""
+    t_gt = T_0to1[:3, 3]
+    n = np.linalg.norm(t) * np.linalg.norm(t_gt)
+    t_err = np.rad2deg(np.arccos(np.clip(np.dot(t, t_gt) / (n + 1e-18), -1.0, 1.0)))
+    t_err = min(t_err, 180.0 - t_err)
+    R_gt = T_0to1[:3, :3]
+    cos = (np.trace(R.T @ R_gt) - 1) / 2
+    R_err = np.rad2deg(np.abs(np.arccos(np.clip(cos, -1.0, 1.0))))
+    return t_err, R_err
+
+
+def estimate_pose_cv2(kpts0, kpts1, K0):
+    """cv2.findEssentialMat(RANSAC, 0.999, thr=1.0 px) + recoverPose best-of
+    (reference metrics.py:79-109). Returns (R, t) or None."""
+    import cv2
+
+    if len(kpts0) < 5:
+        return None
+    focal = 0.5 * (K0[0, 0] + K0[1, 1])
+    pp = (K0[0, 2], K0[1, 2])
+    E, mask = cv2.findEssentialMat(
+        kpts0, kpts1, focal, pp, cv2.RANSAC, 0.999, 1.0
+    )
+    if E is None:
+        return None
+    best = None
+    best_n = 0
+    for _E in np.split(E, len(E) // 3):
+        n, R, t, _ = cv2.recoverPose(_E, kpts0, kpts1, np.eye(3), 1e9, mask=mask.copy())
+        if n > best_n:
+            best, best_n = (R, t[:, 0]), n
+    return best
+
+
+def evaluate_matches(
+    per_pair_matches: Sequence[np.ndarray], val_pairs: Sequence[dict]
+) -> Dict[str, float]:
+    """per_pair_matches[i]: [M_i, 4] (x0,y0,x1,y1) predicted matches for val
+    pair i. Returns auc@{5,10,20} + prec@5e-4 + avg match count."""
+    from featurematching_tpu.utils.metrics import epidist_prec, error_auc
+
+    pose_errs, epi_per_pair = [], []
+    for m, pair in zip(per_pair_matches, val_pairs):
+        K, T = pair["K"], pair["T_0to1"]
+        tx = np.array(
+            [
+                [0, -T[2, 3], T[1, 3]],
+                [T[2, 3], 0, -T[0, 3]],
+                [-T[1, 3], T[0, 3], 0],
+            ]
+        )
+        E_gt = tx @ T[:3, :3]
+        if len(m):
+            epi_per_pair.append(
+                symmetric_epipolar_distance(m[:, :2], m[:, 2:], E_gt, K, K)
+            )
+        else:
+            epi_per_pair.append(np.array([]))
+        ret = estimate_pose_cv2(
+            np.ascontiguousarray(m[:, :2], np.float64),
+            np.ascontiguousarray(m[:, 2:], np.float64),
+            K,
+        )
+        if ret is None:
+            pose_errs.append(np.inf)
+        else:
+            t_err, R_err = relative_pose_error(T, *ret)
+            pose_errs.append(max(t_err, R_err))
+    out = error_auc(pose_errs)
+    out.update(epidist_prec(epi_per_pair, (5e-4,)))
+    out["n_matches"] = float(np.mean([len(m) for m in per_pair_matches]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reference side (torch CPU)
+# ---------------------------------------------------------------------------
+
+TINY = dict(
+    initial_dim=32,
+    block_dims=(32, 48, 64),
+    coarse_d=64,
+    coarse_heads=4,
+    coarse_layers=("self", "cross") * 2,
+    fine_d=32,
+    fine_heads=4,
+    fine_layers=("self", "cross"),
+)
+
+
+def ref_module_config() -> dict:
+    t = TINY
+    return {
+        "backbone_type": "ResNetFPN",
+        "input_channel": 1,
+        "resolution": (8, 2),
+        "fine_window_size": 7,
+        "fine_concat_coarse_feat": True,
+        "resnetfpn": {"initial_dim": t["initial_dim"], "block_dims": list(t["block_dims"])},
+        "coarse": {
+            "d_model": t["coarse_d"],
+            "nhead": t["coarse_heads"],
+            "layer_names": list(t["coarse_layers"]),
+            "attention": "linear",
+        },
+        "match_coarse": {
+            "match_type": "dual_softmax",
+            "thr": 0.2,
+            "border_rm": 2,
+            "dsmax_temperature": 0.1,
+            "train_coarse_percent": 1.0,
+            "train_pad_num_gt_min": 200,
+            "sparse_spvs": False,
+        },
+        "fine": {
+            "d_model": t["fine_d"],
+            "nhead": t["fine_heads"],
+            "layer_names": list(t["fine_layers"]),
+            "attention": "linear",
+        },
+        "pose_net_flag": "none",
+        "loss": {
+            "coarse_type": "focal",
+            "coarse_weight": 1.0,
+            "sparse_spvs": False,
+            "focal_alpha": 0.25,
+            "focal_gamma": 2.0,
+            "pos_weight": 1.0,
+            "neg_weight": 1.0,
+            "pose_net_flag": "none",
+            "pose_loss_cal_flag": "none",
+            "fine_weight": 1.0,
+            "fine_correct_thr": 1.0,
+            "r_weight": 1.0,
+            "t_weight": 1.0,
+        },
+    }
+
+
+def ref_batch(pair: dict, torch) -> dict:
+    return {
+        "image0": torch.from_numpy(pair["img0"])[None, None],
+        "image1": torch.from_numpy(pair["img1"])[None, None],
+        "origin_kp0": torch.from_numpy(pair["kp0"])[None],
+        "origin_kp1": torch.from_numpy(pair["kp1"])[None],
+        "T_0to1": torch.from_numpy(pair["T_0to1"])[None],
+        "T_1to0": torch.from_numpy(pair["T_1to0"])[None],
+        "K0": torch.from_numpy(pair["K"])[None],
+        "K1": torch.from_numpy(pair["K"])[None],
+        "pair_names": ("fixture",),
+    }
+
+
+def run_reference(pairs, n_train, order, lr, seed):
+    """Train + evaluate the reference. Returns (metrics, losses, init_sd)."""
+    import torch
+
+    from featurematching_tpu.utils.ref_oracle import load_ref_module, sd_numpy
+
+    net_mod = load_ref_module("network/net.py")
+    pre_mod = load_ref_module("datasets/data_preprocessing.py")
+    sup_mod = load_ref_module("network/utils/supervision_new.py")
+    loss_mod = load_ref_module("losses/loss.py")
+
+    mcfg = ref_module_config()
+    torch.manual_seed(seed)
+    matcher = net_mod.net(mcfg)
+    loss_fn = loss_mod.Loss({"module": mcfg})
+    init_sd = sd_numpy(matcher)
+
+    sup_cfg = {"MODULE": {"RESOLUTION": (8, 2)}}
+    opt = torch.optim.Adam(matcher.parameters(), lr=lr)
+
+    def trainval(pair, train: bool):
+        data = ref_batch(pair, torch)
+        pre_mod.data_preprocess(data)
+        sup_mod.compute_supervision_coarse(data, sup_cfg)
+        matcher(data)
+        sup_mod.compute_supervision_fine(data)
+        loss_fn(data)
+        return data
+
+    losses = []
+    matcher.train()
+    loss_fn.train()
+    for idx in order:
+        data = trainval(pairs[idx], train=True)
+        opt.zero_grad()
+        data["loss"].backward()
+        opt.step()
+        losses.append(float(data["loss"].detach()))
+
+    matcher.eval()
+    loss_fn.eval()
+    per_pair = []
+    with torch.no_grad():
+        for pair in pairs[n_train:]:
+            data = trainval(pair, train=False)
+            m0 = data["mkpts0_f"][:, :2].numpy()
+            m1 = data["mkpts1_f"][:, :2].numpy()
+            per_pair.append(np.concatenate([m0, m1], -1))
+    return evaluate_matches(per_pair, pairs[n_train:]), losses, init_sd
+
+
+# ---------------------------------------------------------------------------
+# our side (jax CPU, same init / data / optimizer)
+# ---------------------------------------------------------------------------
+
+def our_config():
+    import dataclasses as dc
+
+    from featurematching_tpu.config import Config
+
+    t = TINY
+    cfg = Config()
+    m = dc.replace(
+        cfg.model,
+        backbone_type="resnet_fpn",
+        input_channels=1,
+        resnet_fpn=dc.replace(
+            cfg.model.resnet_fpn,
+            initial_dim=t["initial_dim"],
+            block_dims=tuple(t["block_dims"]),
+        ),
+        coarse=dc.replace(
+            cfg.model.coarse,
+            d_model=t["coarse_d"],
+            nhead=t["coarse_heads"],
+            layer_names=tuple(t["coarse_layers"]),
+            attention="linear",
+        ),
+        fine=dc.replace(
+            cfg.model.fine,
+            d_model=t["fine_d"],
+            nhead=t["fine_heads"],
+            layer_names=tuple(t["fine_layers"]),
+            attention="linear",
+        ),
+        match_coarse=dc.replace(
+            cfg.model.match_coarse, max_matches=256, max_gt_matches=NUM_GT
+        ),
+        loss=dc.replace(cfg.model.loss, sparse_spvs=False),
+        pose=dc.replace(cfg.model.pose, flag="none"),
+        compute_dtype="float32",
+        positional_encoding=False,  # reference net.py:66-70 comments PE out
+    )
+    return dc.replace(cfg, model=m)
+
+
+def our_batch(pair: dict) -> Dict[str, np.ndarray]:
+    m = len(pair["kp0"])
+    kp0 = np.zeros((1, NUM_GT, 2), np.float32)
+    kp1 = np.zeros((1, NUM_GT, 2), np.float32)
+    mask = np.zeros((1, NUM_GT), bool)
+    kp0[0, :m], kp1[0, :m], mask[0, :m] = pair["kp0"], pair["kp1"], True
+    return {
+        "image0": pair["img0"][None, :, :, None],
+        "image1": pair["img1"][None, :, :, None],
+        "gt_kp0": kp0,
+        "gt_kp1": kp1,
+        "gt_mask": mask,
+        "T_0to1": pair["T_0to1"][None],
+        "T_1to0": pair["T_1to0"][None],
+        "K0": pair["K"][None],
+        "K1": pair["K"][None],
+    }
+
+
+def run_ours(pairs, n_train, order, lr, init_sd):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from featurematching_tpu.models.matcher import Matcher
+    from featurematching_tpu.train.step import (
+        TrainState,
+        make_eval_step,
+        make_train_step,
+    )
+    from featurematching_tpu.utils.torch_convert import convert_matcher
+
+    cfg = our_config()
+    model = Matcher(cfg.model)
+    sample = our_batch(pairs[0])
+
+    # same initial weights as the reference run
+    params, stats = convert_matcher(
+        init_sd,
+        coarse_layers=len(TINY["coarse_layers"]),
+        fine_layers=len(TINY["fine_layers"]),
+    )
+    # structural sanity vs a fresh init — loud failure over silent drift
+    ref_vars = jax.eval_shape(
+        lambda: Matcher(cfg.model).init(
+            jax.random.PRNGKey(0), jnp.asarray(sample["image0"]), jnp.asarray(sample["image1"])
+        )
+    )
+    got_n = len(jax.tree_util.tree_leaves(params))
+    ref_n = len(jax.tree_util.tree_leaves(ref_vars["params"]))
+    assert got_n == ref_n, f"converted params leaves {got_n} != init {ref_n}"
+
+    tx = optax.adam(lr)
+    params = jax.tree.map(jnp.asarray, params)
+    stats = jax.tree.map(jnp.asarray, stats)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+    train_step = jax.jit(make_train_step(model, cfg))
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    rng = jax.random.PRNGKey(0)  # no droppath in ResNetFPN — unused
+
+    losses = []
+    for idx in order:
+        state, metrics = train_step(state, our_batch(pairs[idx]), rng)
+        losses.append(float(metrics["loss"]))
+
+    per_pair = []
+    for pair in pairs[n_train:]:
+        out, _ = eval_step(state, our_batch(pair))
+        mask = np.asarray(out.fine_ids[2][0])
+        m0 = np.asarray(out.fine.mkpts0_f[0, :, :2])[mask]
+        m1 = np.asarray(out.fine.mkpts1_f[0, :, :2])[mask]
+        per_pair.append(np.concatenate([m0, m1], -1))
+    return evaluate_matches(per_pair, pairs[n_train:]), losses
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def main():
+    # force jax onto host CPU before first backend use: the axon TPU tunnel is
+    # single-tenant and this experiment must not contend with device benches
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-pairs", type=int, default=48)
+    ap.add_argument("--val-pairs", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    pairs = make_fixture(args.seed, args.train_pairs, args.val_pairs)
+    rng = np.random.default_rng(args.seed + 1)
+    order = np.concatenate(
+        [rng.permutation(args.train_pairs) for _ in range(args.epochs)]
+    )
+
+    t0 = time.time()
+    ref_metrics, ref_losses, init_sd = run_reference(
+        pairs, args.train_pairs, order, args.lr, seed=args.seed
+    )
+    t_ref = time.time() - t0
+
+    t0 = time.time()
+    our_metrics, our_losses = run_ours(pairs, args.train_pairs, order, args.lr, init_sd)
+    t_ours = time.time() - t0
+
+    result = {
+        "config": vars(args),
+        "steps": len(order),
+        "reference": {**ref_metrics, "final_loss": float(np.mean(ref_losses[-8:])), "train_s": t_ref},
+        "ours": {**our_metrics, "final_loss": float(np.mean(our_losses[-8:])), "train_s": t_ours},
+        "loss_curve_ref": ref_losses,
+        "loss_curve_ours": our_losses,
+    }
+    print(json.dumps({k: v for k, v in result.items() if not k.startswith("loss_curve")}, indent=2))
+    keys = ["auc@5", "auc@10", "auc@20", "prec@5e-04", "n_matches", "final_loss"]
+    print("\n| framework | " + " | ".join(keys) + " |")
+    print("|---|" + "---|" * len(keys))
+    for name in ("reference", "ours"):
+        row = result[name]
+        print(f"| {name} | " + " | ".join(f"{row[k]:.4f}" for k in keys) + " |")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 def _frozen(cls):
@@ -146,6 +146,11 @@ class ModelConfig:
     # coarse-only matcher (no fine refinement) — the LoFTR-tiny mode used by
     # the reference as a frozen teacher (network/module/loftr_tiny.py)
     coarse_only: bool = False
+    # positional encoding before the coarse transformer. None = auto (on for
+    # resnet_fpn, off for swin — the reference's net.py:66-70 comments PE out
+    # entirely, but LoFTR-tiny applies it; auto gives each backbone the
+    # sensible default). Set False to reproduce the reference net exactly.
+    positional_encoding: Optional[bool] = None
 
 
 @_frozen

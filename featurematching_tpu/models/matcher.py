@@ -158,7 +158,10 @@ class Matcher(nn.Module):
         assert Cc == cfg.coarse.d_model and Cf == cfg.fine.d_model
 
         # 2. coarse transformer over flattened sequences
-        if cfg.backbone_type == "resnet_fpn":
+        use_pe = cfg.positional_encoding
+        if use_pe is None:  # auto: resnet has no positional signal; swin does
+            use_pe = cfg.backbone_type == "resnet_fpn"
+        if use_pe:
             pe = jnp.asarray(sine_positional_encoding((hc, wc), Cc), dtype)
             feat_c0 = feat_c0 + pe[None]
             feat_c1 = feat_c1 + pe[None]

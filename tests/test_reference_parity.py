@@ -10,7 +10,6 @@ reference's Swin file uses (DropPath/to_2tuple/trunc_normal_ — inference
 behavior only).
 """
 
-import importlib.util
 import sys
 import types
 
@@ -22,119 +21,11 @@ torch = pytest.importorskip("torch")
 REF = "/root/reference"
 
 
-def _install_timm_shim():
-    if "timm" in sys.modules:
-        return
-    import torch.nn as nn
-
-    shim = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    layers = types.ModuleType("timm.models.layers")
-
-    class DropPath(nn.Module):
-        def __init__(self, drop_prob=0.0):
-            super().__init__()
-            self.drop_prob = drop_prob
-
-        def forward(self, x):
-            return x  # eval-mode identity
-
-    def to_2tuple(x):
-        return x if isinstance(x, tuple) else (x, x)
-
-    def trunc_normal_(tensor, std=1.0, **kw):
-        with torch.no_grad():
-            tensor.normal_(0, std)
-        return tensor
-
-    layers.DropPath = DropPath
-    layers.to_2tuple = to_2tuple
-    layers.trunc_normal_ = trunc_normal_
-    models.layers = layers
-    shim.models = models
-    sys.modules["timm"] = shim
-    sys.modules["timm.models"] = models
-    sys.modules["timm.models.layers"] = layers
+from featurematching_tpu.utils.ref_oracle import load_ref_module, sd_numpy as _sd_numpy
 
 
-def _install_loguru_shim():
-    if "loguru" in sys.modules:
-        return
-    shim = types.ModuleType("loguru")
-
-    class _Logger:
-        def warning(self, *a, **k):
-            pass
-
-        info = debug = error = warning
-
-    shim.logger = _Logger()
-    sys.modules["loguru"] = shim
-
-
-def _install_kornia_shim():
-    """kornia isn't in this image; provide the two symbols the reference's
-    fine matching uses, implemented to kornia's documented semantics:
-    create_meshgrid (x,y order, [-1,1] inclusive) and
-    dsnt.spatial_expectation2d (probability-weighted grid expectation)."""
-    if "kornia" in sys.modules:
-        return
-    import torch as _t
-
-    kornia = types.ModuleType("kornia")
-    geometry = types.ModuleType("kornia.geometry")
-    subpix = types.ModuleType("kornia.geometry.subpix")
-    dsnt = types.ModuleType("kornia.geometry.subpix.dsnt")
-    utils = types.ModuleType("kornia.utils")
-    grid_mod = types.ModuleType("kornia.utils.grid")
-
-    def create_meshgrid(H, W, normalized_coordinates=True, device=None, dtype=None):
-        if normalized_coordinates:
-            xs = _t.linspace(-1.0, 1.0, W, device=device, dtype=dtype)
-            ys = _t.linspace(-1.0, 1.0, H, device=device, dtype=dtype)
-        else:
-            xs = _t.arange(W, device=device, dtype=dtype or _t.float32)
-            ys = _t.arange(H, device=device, dtype=dtype or _t.float32)
-        gy, gx = _t.meshgrid(ys, xs, indexing="ij")
-        return _t.stack([gx, gy], dim=-1)[None]  # [1, H, W, 2] (x, y)
-
-    def spatial_expectation2d(heatmap, normalized_coordinates=True):
-        B, N, H, W = heatmap.shape
-        grid = create_meshgrid(
-            H, W, normalized_coordinates, heatmap.device, heatmap.dtype
-        ).reshape(1, 1, H * W, 2)
-        return (heatmap.reshape(B, N, H * W, 1) * grid).sum(2)  # [B, N, 2]
-
-    grid_mod.create_meshgrid = create_meshgrid
-    dsnt.spatial_expectation2d = spatial_expectation2d
-    subpix.dsnt = dsnt
-    geometry.subpix = subpix
-    utils.grid = grid_mod
-    kornia.geometry = geometry
-    kornia.utils = utils
-    sys.modules["kornia"] = kornia
-    sys.modules["kornia.geometry"] = geometry
-    sys.modules["kornia.geometry.subpix"] = subpix
-    sys.modules["kornia.geometry.subpix.dsnt"] = dsnt
-    sys.modules["kornia.utils"] = utils
-    sys.modules["kornia.utils.grid"] = grid_mod
-
-
-def _load_ref_module(name: str, relpath: str):
-    """Import a reference module as part of its package (relative imports)."""
-    _install_timm_shim()
-    _install_loguru_shim()
-    _install_kornia_shim()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    import importlib
-
-    modname = relpath.replace("/", ".").removesuffix(".py")
-    return importlib.import_module(modname)
-
-
-def _sd_numpy(module) -> dict:
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+def _load_ref_module(_name: str, relpath: str):
+    return load_ref_module(relpath)
 
 
 class TestTransformerParity:
