@@ -48,6 +48,10 @@ class SwinConfig:
     patch_norm: bool = True
     # fused Pallas window attention: 'auto' (TPU inference), 'on', 'off'
     fused_attention: str = "auto"
+    # fully-fused differentiable Pallas Swin block (fwd + bwd kernels,
+    # ops/pallas_swin_block_grad): 'auto' (any accelerator, train AND eval),
+    # 'on', 'off'. Supersedes fused_attention when active.
+    fused_block: str = "auto"
 
 
 @_frozen

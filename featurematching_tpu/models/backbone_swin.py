@@ -87,6 +87,58 @@ def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndar
     return x / keep * mask
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-identical params (names/shapes/inits) without the op,
+    so the fused-block path can read raw kernels while keeping the param tree
+    checkpoint-compatible with the per-op path."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,)
+            )
+
+
+class _LayerNormParams(nn.Module):
+    """nn.LayerNorm-identical params (scale/bias) without the op."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+
+
+class _WindowAttentionParams(nn.Module):
+    """WindowAttention-identical param subtree (qkv/proj/rel_pos_bias)."""
+
+    dim: int
+    window: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    def setup(self):
+        self.qkv = _DenseParams(self.dim, 3 * self.dim, self.qkv_bias)
+        self.proj = _DenseParams(self.dim, self.dim, True)
+        self.rel_pos_bias = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) * (2 * self.window - 1), self.num_heads),
+        )
+
+
 class WindowAttention(nn.Module):
     """W-MSA with learned relative position bias (swin_...py:70-148).
 
@@ -176,12 +228,86 @@ class SwinBlock(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_fused: bool = False
+    use_fused_block: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, H: int, W: int, deterministic: bool = True):
         """x: [B, H*W, C]."""
         B, L, C = x.shape
         w = self.window
+        if self.use_fused_block:
+            # fully-fused differentiable Pallas block (fwd + bwd kernels);
+            # numerics note: window padding enters the kernel pre-LN (the
+            # per-op path pads post-LN zeros), so padded-window scores differ
+            # at the pad keys — same modeling choice as models/fast_inference.
+            from featurematching_tpu.ops.pallas_swin_block_grad import (
+                swin_block_train,
+            )
+
+            norm1 = _LayerNormParams(C, name="norm1")
+            attn = _WindowAttentionParams(
+                C, w, self.num_heads, self.qkv_bias, name="attn"
+            )
+            norm2 = _LayerNormParams(C, name="norm2")
+            mlp1 = _DenseParams(C, int(C * self.mlp_ratio), name="mlp1")
+            mlp2 = _DenseParams(int(C * self.mlp_ratio), C, name="mlp2")
+            params = {
+                "ln1_scale": norm1.scale,
+                "ln1_bias": norm1.bias,
+                "w_qkv": attn.qkv.kernel,
+                "b_qkv": attn.qkv.bias,
+                "rel_bias": _rel_pos_bias_from_table(
+                    attn.rel_pos_bias, w, self.num_heads
+                ),
+                "w_proj": attn.proj.kernel,
+                "b_proj": attn.proj.bias,
+                "ln2_scale": norm2.scale,
+                "ln2_bias": norm2.bias,
+                "w_mlp1": mlp1.kernel,
+                "b_mlp1": mlp1.bias,
+                "w_mlp2": mlp2.kernel,
+                "b_mlp2": mlp2.bias,
+            }
+
+            xi = x.reshape(B, H, W, C)
+            pad_b = (w - H % w) % w
+            pad_r = (w - W % w) % w
+            if pad_b or pad_r:
+                xi = jnp.pad(xi, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            Hp, Wp = H + pad_b, W + pad_r
+            nW = (Hp // w) * (Wp // w)
+            if self.shift > 0:
+                xi = jnp.roll(xi, shift=(-self.shift, -self.shift), axis=(1, 2))
+                mask = jnp.asarray(_shift_attn_mask(Hp, Wp, w, self.shift))
+                mask_pw = mask[jnp.arange(B * nW) % nW]
+            else:
+                mask_pw = None
+
+            if not deterministic and self.drop_path_rate > 0:
+                keep = 1.0 - self.drop_path_rate
+                m1 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, (B,)
+                ).astype(jnp.float32) / keep
+                m2 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, (B,)
+                ).astype(jnp.float32) / keep
+                s1 = jnp.repeat(m1, nW)
+                s2 = jnp.repeat(m2, nW)
+            else:
+                s1 = s2 = None
+
+            xw = window_partition(xi, w)
+            ow = swin_block_train(
+                xw, mask_pw, s1, s2, params, self.num_heads, None,
+                jax.default_backend() == "cpu",  # interpret for CPU tests
+            )
+            oi = window_reverse(ow, w, Hp, Wp)
+            if self.shift > 0:
+                oi = jnp.roll(oi, shift=(self.shift, self.shift), axis=(1, 2))
+            if pad_b or pad_r:
+                oi = oi[:, :H, :W]
+            return oi.reshape(B, H * W, C)
+
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x.reshape(B, H, W, C)
@@ -281,6 +407,7 @@ class SwinUNet(nn.Module):
     patch_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     fused_attention: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -314,6 +441,7 @@ class SwinUNet(nn.Module):
                     drop_path_rate=float(dpr[sum(self.depths[:i]) + b]),
                     dtype=self.dtype,
                     use_fused=self.fused_attention,
+                    use_fused_block=self.fused_block,
                     name=f"enc{i}_blk{b}",
                 )(x, Wh, Ww, deterministic)
             if i < n_stages - 1:
@@ -342,6 +470,7 @@ class SwinUNet(nn.Module):
                     drop_path_rate=float(dp_slice[b] if b < len(dp_slice) else 0.0),
                     dtype=self.dtype,
                     use_fused=self.fused_attention,
+                    use_fused_block=self.fused_block,
                     name=f"dec{j}_blk{b}",
                 )(x, Wh, Ww, deterministic)
             scale = 2 if j < n_up - 1 else 4

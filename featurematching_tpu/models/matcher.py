@@ -124,6 +124,10 @@ class Matcher(nn.Module):
                 fused = (not train) and jax.default_backend() not in ("cpu",)
             else:
                 fused = s.fused_attention == "on"
+            if s.fused_block == "auto":
+                fused_blk = jax.default_backend() not in ("cpu",)
+            else:
+                fused_blk = s.fused_block == "on"
             feat_c, feat_f = SwinUNet(
                 in_channels=cfg.input_channels,
                 patch_size=s.patch_size,
@@ -137,7 +141,8 @@ class Matcher(nn.Module):
                 drop_path_rate=s.drop_path_rate,
                 patch_norm=s.patch_norm,
                 dtype=dtype,
-                fused_attention=fused,
+                fused_attention=fused and not fused_blk,
+                fused_block=fused_blk,
                 name="backbone",
             )(imgs, train=train)
         elif cfg.backbone_type == "resnet_fpn":
