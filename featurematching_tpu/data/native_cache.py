@@ -142,7 +142,8 @@ class NativeBatchLoader:
         return cls._lib is not None
 
     def __init__(self, cache_path: str, batch_size: int, num_threads: int = 8,
-                 ring_slots: int = 3):
+                 ring_slots: int = 3, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         if not self.available():
             raise RuntimeError("native loader library unavailable (no g++?)")
         self.lib = type(self)._lib
@@ -156,9 +157,21 @@ class NativeBatchLoader:
         self.rec_bytes = int(self.lib.fmtpu_sample_bytes(self.handle))
         self.n = int(self.lib.fmtpu_num_samples(self.handle))
         assert self.rec_bytes == _record_bytes(self.schema)
+        # per-host strided shard, same convention as loader.BatchLoader
+        if process_index is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index = process_index
+        self.process_count = process_count or 1
 
     def __len__(self) -> int:
-        return self.n // self.batch_size
+        n_local = len(range(self.process_index, self.n, self.process_count))
+        return n_local // self.batch_size
 
     def _split(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
         """[B, rec_bytes] raw -> field dict with shapes from the schema."""
@@ -189,7 +202,10 @@ class NativeBatchLoader:
               ) -> Iterator[Dict[str, np.ndarray]]:
         idx = np.arange(self.n, dtype=np.int64)
         if shuffle:
+            # same global order on every host, then strided host shard —
+            # identical semantics to loader.BatchLoader.epoch_indices
             idx = np.random.default_rng((seed, epoch)).permutation(idx)
+        idx = np.ascontiguousarray(idx[self.process_index :: self.process_count])
         nb = len(idx) // self.batch_size
         idx = idx[: nb * self.batch_size]
         rc = self.lib.fmtpu_prefetch_start(

@@ -84,3 +84,63 @@ class TestNativeLoader:
         for i in range(8):
             np.testing.assert_array_equal(batch["gt_kp0"][i], ds[i]["gt_kp0"])
         loader.close()
+
+
+@needs_native
+class TestHostSharding:
+    def test_strided_shard_partition(self, tmp_path):
+        ds = FakeDS(20)
+        cache = str(tmp_path / "c.fmtp")
+        write_cache(cache, ds)
+        seen = []
+        for pi in range(2):
+            ld = NativeBatchLoader(
+                cache, batch_size=2, process_index=pi, process_count=2
+            )
+            assert len(ld) == 5
+            ids = []
+            for b in ld.epoch(0, shuffle=True, seed=3):
+                ids.extend(b["pair_id"].tolist())
+            seen.append(set(ids))
+        # the two hosts' shards are disjoint and cover everything
+        assert seen[0] & seen[1] == set()
+        assert seen[0] | seen[1] == set(range(20))
+
+    def test_same_global_order_as_python_loader(self, tmp_path):
+        from featurematching_tpu.data.loader import BatchLoader
+
+        ds = FakeDS(16)
+        cache = str(tmp_path / "c.fmtp")
+        write_cache(cache, ds)
+        nat = NativeBatchLoader(cache, 2, process_index=1, process_count=2)
+        py = BatchLoader(
+            ds, 2, seed=0, process_index=1, process_count=2
+        )
+        nat_ids = [b["pair_id"].tolist() for b in nat.epoch(4, seed=0)]
+        py_ids = [b["pair_id"].tolist() for b in py.epoch(4)]
+        assert nat_ids == py_ids
+
+
+class TestMakeLoader:
+    def test_prefers_native_when_cache_exists(self, tmp_path):
+        from featurematching_tpu.data.loader import BatchLoader, make_loader
+
+        ds = FakeDS(8)
+        cache = str(tmp_path / "c.fmtp")
+        ld = make_loader(ds, 2, cache_path=cache)  # no cache yet -> python
+        assert isinstance(ld, BatchLoader)
+        ld = make_loader(ds, 2, cache_path=cache, build_cache=True)
+        if NativeBatchLoader.available():
+            assert isinstance(ld, NativeBatchLoader)
+            ids = sorted(
+                i for b in ld.epoch(0, shuffle=False) for i in b["pair_id"]
+            )
+            assert ids == list(range(8))
+        else:
+            assert isinstance(ld, BatchLoader)
+
+    def test_no_cache_path_gives_python_loader(self):
+        from featurematching_tpu.data.loader import BatchLoader, make_loader
+
+        ld = make_loader(FakeDS(4), 2)
+        assert isinstance(ld, BatchLoader)
