@@ -212,8 +212,8 @@ def _train_fwd_kernel(
 ):
     x = x_ref[...]
     mask = mask_ref[...] if has_mask else None
-    s1 = s1_ref[...][:, :, None] if has_scale else None  # [CH,1,1]
-    s2 = s2_ref[...][:, :, None] if has_scale else None
+    s1 = s1_ref[...] if has_scale else None  # [CH,1,1]
+    s2 = s2_ref[...] if has_scale else None
     out_ref[...] = _fwd_recompute(
         x, mask, s1, s2,
         ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
@@ -253,8 +253,8 @@ def _train_bwd_kernel(
     x = x_ref[...]
     dtype = x.dtype
     mask = mask_ref[...] if has_mask else None
-    s1 = s1_ref[...][:, :, None] if has_scale else None
-    s2 = s2_ref[...][:, :, None] if has_scale else None
+    s1 = s1_ref[...] if has_scale else None
+    s2 = s2_ref[...] if has_scale else None
 
     inter = _fwd_recompute(
         x, mask, s1, s2,
@@ -272,34 +272,40 @@ def _train_bwd_kernel(
         ):
             ref[...] = jnp.zeros_like(ref)
 
+    # Mixed precision: every dot_general runs with operands in the INPUT
+    # dtype (bf16 in production — 1 MXU pass vs several for f32) and f32
+    # accumulation; elementwise stats/sums stay f32. With f32 inputs the math
+    # is bit-identical to before, so the fp32 parity tests are unaffected.
     g = g_ref[...].astype(jnp.float32)  # [CH, N, C]
 
     # ---- MLP branch: out = x1 + s2 * (gelu(h2 W1 + b1) W2 + b2)
-    dm = (g * s2 if s2 is not None else g).reshape(CH * N, C)
-    ge = inter["ge"].astype(jnp.float32)  # [CH*N, HID]
+    dm32 = (g * s2 if s2 is not None else g).reshape(CH * N, C)
+    dm = dm32.astype(dtype)
+    ge = inter["ge"]  # [CH*N, HID] dtype
     dwm2_ref[...] += jax.lax.dot_general(
         ge, dm, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dbm2_ref[...] += jnp.sum(dm, axis=0)
+    dbm2_ref[...] += jnp.sum(dm32, axis=0)
     dge = jax.lax.dot_general(
-        dm, wm2_ref[...].astype(jnp.float32),
+        dm, wm2_ref[...].astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [CH*N, HID]
+    )  # [CH*N, HID] f32
     y1 = inter["y1"]  # f32
     # gelu'(y) = Phi(y) + y * phi(y)
     phi_cdf = 0.5 * (1.0 + _erf_approx(y1 * _SQRT_HALF))
     phi_pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * y1 * y1)
-    dy1 = dge * (phi_cdf + y1 * phi_pdf)
-    h2f = inter["h2"].reshape(CH * N, C).astype(jnp.float32)
+    dy1_32 = dge * (phi_cdf + y1 * phi_pdf)
+    dy1 = dy1_32.astype(dtype)
+    h2f = inter["h2"].reshape(CH * N, C)  # dtype
     dwm1_ref[...] += jax.lax.dot_general(
         h2f, dy1, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dbm1_ref[...] += jnp.sum(dy1, axis=0)
+    dbm1_ref[...] += jnp.sum(dy1_32, axis=0)
     dh2 = jax.lax.dot_general(
-        dy1, wm1_ref[...].astype(jnp.float32),
+        dy1, wm1_ref[...].astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(CH, N, C)
@@ -310,15 +316,16 @@ def _train_bwd_kernel(
     dx1 = g + dx1_ln  # [CH, N, C] f32
 
     # ---- attention branch: x1 = x + s1 * (a Wproj + bproj)
-    do = (dx1 * s1 if s1 is not None else dx1).reshape(CH * N, C)
-    af = inter["a"].reshape(CH * N, C).astype(jnp.float32)
+    do32 = (dx1 * s1 if s1 is not None else dx1).reshape(CH * N, C)
+    do = do32.astype(dtype)
+    af = inter["a"].reshape(CH * N, C)  # dtype
     dwproj_ref[...] += jax.lax.dot_general(
         af, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dbproj_ref[...] += jnp.sum(do, axis=0)
+    dbproj_ref[...] += jnp.sum(do32, axis=0)
     da = jax.lax.dot_general(
-        do, wproj_ref[...].astype(jnp.float32),
+        do, wproj_ref[...].astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(CH, N, C)
@@ -343,28 +350,30 @@ def _train_bwd_kernel(
         if mask is not None:
             s = s + mask
         p = jax.nn.softmax(s, axis=-1)  # [CH, N, N] f32
+        p_lo = p.astype(dtype)
 
-        da_h = da[:, :, hi * d : (hi + 1) * d]  # f32
+        da_h = da[:, :, hi * d : (hi + 1) * d].astype(dtype)
         # dv = p^T da_h (contract over query axis)
         dv_h = jax.lax.dot_general(
-            p, da_h,
+            p_lo, da_h,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [CH, N(keys), d]
+        )  # [CH, N(keys), d] f32
         dp = jax.lax.dot_general(
-            da_h, vh.astype(jnp.float32),
+            da_h, vh,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [CH, N, N]
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbias_heads.append(jnp.sum(ds, axis=0))
+        )  # [CH, N, N] f32
+        ds32 = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_heads.append(jnp.sum(ds32, axis=0))
+        ds = ds32.astype(dtype)
         dq_h = jax.lax.dot_general(
-            ds, kh.astype(jnp.float32),
+            ds, kh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         dk_h = jax.lax.dot_general(
-            ds, qh.astype(jnp.float32),
+            ds, qh,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
@@ -375,7 +384,7 @@ def _train_bwd_kernel(
     dbias_ref[...] += (
         dbias_heads[0][None] if h == 1 else jnp.stack(dbias_heads)
     )
-    dqkv = jnp.concatenate(
+    dqkv32 = jnp.concatenate(
         [
             dq_heads[0] if h == 1 else jnp.concatenate(dq_heads, axis=-1),
             dk_heads[0] if h == 1 else jnp.concatenate(dk_heads, axis=-1),
@@ -383,15 +392,16 @@ def _train_bwd_kernel(
         ],
         axis=-1,
     ).reshape(CH * N, 3 * C)  # f32
+    dqkv = dqkv32.astype(dtype)
 
-    h1f = inter["h1"].reshape(CH * N, C).astype(jnp.float32)
+    h1f = inter["h1"].reshape(CH * N, C)  # dtype
     dwqkv_ref[...] += jax.lax.dot_general(
         h1f, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dbqkv_ref[...] += jnp.sum(dqkv, axis=0)
+    dbqkv_ref[...] += jnp.sum(dqkv32, axis=0)
     dh1 = jax.lax.dot_general(
-        dqkv, wqkv_ref[...].astype(jnp.float32),
+        dqkv, wqkv_ref[...].astype(dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(CH, N, C)
@@ -451,10 +461,11 @@ def _prep_scale_mask(x, mask_pw, s1, s2):
     if not has_mask:
         mask_pw = jnp.zeros((B_, 1, 1), jnp.float32)
     if has_scale:
-        s1 = s1.reshape(B_, 1).astype(jnp.float32)
-        s2 = s2.reshape(B_, 1).astype(jnp.float32)
+        s1 = s1.reshape(B_, 1, 1).astype(jnp.float32)
+        s2 = s2.reshape(B_, 1, 1).astype(jnp.float32)
     else:
-        s1 = s2 = jnp.zeros((B_, 1), jnp.float32)
+        # Mosaic block rule: last two dims must equal the array's (1, 1)
+        s1 = s2 = jnp.zeros((B_, 1, 1), jnp.float32)
     return mask_pw.astype(jnp.float32), s1, s2, has_mask, has_scale
 
 
@@ -466,7 +477,7 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
     HID = params["w_mlp1"].shape[1]
     mask_pw, s1p, s2p, has_mask, has_scale = _prep_scale_mask(x, mask_pw, s1, s2)
     if chunk is None:
-        chunk = _pick_chunk(B_, C, 4096)
+        chunk = _pick_chunk(B_, C, 2048)  # VMEM: fwd ~18M at 4096 w/ mask
     mask_block = (
         pl.BlockSpec((chunk, N, N), lambda g: (g, 0, 0))
         if has_mask
@@ -482,8 +493,8 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
         in_specs=[
             pl.BlockSpec((chunk, N, C), lambda g: (g, 0, 0)),
             mask_block,
-            pl.BlockSpec((chunk, 1), lambda g: (g, 0)),
-            pl.BlockSpec((chunk, 1), lambda g: (g, 0)),
+            pl.BlockSpec((chunk, 1, 1), lambda g: (g, 0, 0)),
+            pl.BlockSpec((chunk, 1, 1), lambda g: (g, 0, 0)),
         ] + _param_specs(C, HID, num_heads, N),
         out_specs=pl.BlockSpec((chunk, N, C), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
@@ -499,7 +510,10 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret):
     HID = params["w_mlp1"].shape[1]
     mask_pw, s1p, s2p, has_mask, has_scale = _prep_scale_mask(x, mask_pw, s1, s2)
     if chunk is None:
-        chunk = _pick_chunk(B_, C, 2048)  # bwd holds ~2x the activations
+        # bwd VMEM budget: the f32 MLP intermediates (y1/dge) scale with
+        # chunk*N*HID; measured limits: chunk 16@C=64 / 8@C=128 / 4@C=256 fit
+        # the 16M scoped-vmem budget, one step up OOMs (compile-time checked)
+        chunk = _pick_chunk(B_, C, 1024)
     mask_block = (
         pl.BlockSpec((chunk, N, N), lambda g_: (g_, 0, 0))
         if has_mask
@@ -539,8 +553,8 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret):
         in_specs=[
             pl.BlockSpec((chunk, N, C), lambda g_: (g_, 0, 0)),
             mask_block,
-            pl.BlockSpec((chunk, 1), lambda g_: (g_, 0)),
-            pl.BlockSpec((chunk, 1), lambda g_: (g_, 0)),
+            pl.BlockSpec((chunk, 1, 1), lambda g_: (g_, 0, 0)),
+            pl.BlockSpec((chunk, 1, 1), lambda g_: (g_, 0, 0)),
             pl.BlockSpec((chunk, N, C), lambda g_: (g_, 0, 0)),
         ] + _param_specs(C, HID, num_heads, N),
         out_specs=out_specs,
