@@ -3,7 +3,7 @@ poses, optionally pose-graph-optimize, and export the trajectory.
 
     python -m featurematching_tpu.apps.sfm SOURCE --intrinsics fx fy cx cy \
         [--ckpt DIR] [--out traj.txt] [--size 640 480] [--gray] \
-        [--skip 1] [--max-frames 100] [--thr 0.2] [--pgo]
+        [--skip 1] [--max-frames 100] [--thr 0.2] [--pgo] [--windowed W]
 
 SOURCE as in the demo CLI (directory / glob / video / camera index).
 Output: TUM trajectory format (`t tx ty tz qx qy qz qw`, camera-to-world),
@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--pixel-thr", type=float, default=1.0)
     p.add_argument("--pgo", action="store_true",
                    help="run pose-graph optimization over consecutive edges")
+    p.add_argument("--windowed", type=int, default=0, metavar="W",
+                   help="use the keyframe-map pipeline with scale propagation "
+                        "and sliding-window BA over the last W frames "
+                        "(0 = plain two-view chaining)")
     args = p.parse_args(argv)
 
     import jax
@@ -67,10 +71,18 @@ def main(argv=None) -> int:
         m[:n] = True
         return p0, p1, m
 
-    traj = run_sequence(
-        matcher_fn, list(range(len(frames))), K,
-        pixel_thr=args.pixel_thr,
-    )
+    if args.windowed > 0:
+        from featurematching_tpu.sfm.windowed import run_sequence_windowed
+
+        traj = run_sequence_windowed(
+            matcher_fn, list(range(len(frames))), K,
+            pixel_thr=args.pixel_thr, window=args.windowed,
+        )
+    else:
+        traj = run_sequence(
+            matcher_fn, list(range(len(frames))), K,
+            pixel_thr=args.pixel_thr,
+        )
     poses = traj.poses  # world->cam chain
 
     if args.pgo:

@@ -19,3 +19,6 @@ from featurematching_tpu.sfm.pose_graph import (  # noqa: F401
     PoseGraph,
     optimize_pose_graph,
 )
+from featurematching_tpu.sfm.windowed import (  # noqa: F401
+    run_sequence_windowed,
+)

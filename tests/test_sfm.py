@@ -247,3 +247,84 @@ class TestPipeline:
         assert np.isfinite(err)
         spread = np.linalg.norm(traj.poses[:, :3, 3], axis=1)
         assert (spread[1:] > 1e-3).all()
+
+
+class TestWindowedSequence:
+    def _make_sequence(self, rng, step_norms, rot_scale=0.04):
+        """GT trajectory with deliberately VARYING step lengths + point cloud."""
+        from tests.test_geometry import make_viewing_pose
+
+        poses = [np.eye(4)]
+        for s in step_norms:
+            step = make_viewing_pose(rng, rot_scale=rot_scale, t_scale=1.0)
+            step[:3, 3] *= s / np.linalg.norm(step[:3, 3])
+            poses.append(step @ poses[-1])
+        poses = np.stack(poses).astype(np.float64)
+        X = rng.standard_normal((400, 3)) * [3.0, 3.0, 2.0] + [0, 0, 12.0]
+        return poses, X
+
+    def test_windowed_beats_chained_on_varying_scale(self, rng):
+        """The whole point of scale propagation + windowed BA: when true step
+        lengths vary, unit-norm two-view chaining distorts the trajectory in a
+        way one global Sim(3) alignment cannot undo; the windowed pipeline
+        resolves each step's scale against the map and should get close to GT."""
+        from featurematching_tpu.sfm.pipeline import ate_rmse, run_sequence
+        from featurematching_tpu.sfm.windowed import run_sequence_windowed
+
+        # strongly varying step lengths (4x spread)
+        step_norms = [0.12, 0.48, 0.15, 0.50, 0.20]
+        gt_poses, X = self._make_sequence(rng, step_norms)
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
+
+        def project(T):
+            Xc = X @ T[:3, :3].T + T[:3, 3]
+            uv = (Xc[:, :2] / Xc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            return uv, Xc[:, 2] > 0.5
+
+        def matcher_fn(i0, i1):
+            p0, v0 = project(gt_poses[i0])
+            p1, v1 = project(gt_poses[i1])
+            return p0.astype(np.float32), p1.astype(np.float32), v0 & v1
+
+        frames = list(range(len(gt_poses)))
+        traj_chain = run_sequence(matcher_fn, frames, K.astype(np.float32))
+        traj_win = run_sequence_windowed(
+            matcher_fn, frames, K.astype(np.float32), window=4
+        )
+        assert traj_win.valid.all()
+
+        err_chain = ate_rmse(traj_chain.poses, gt_poses.astype(np.float32))
+        err_win = ate_rmse(traj_win.poses, gt_poses.astype(np.float32))
+        # windowed must clearly beat chaining AND be accurate in absolute
+        # terms (scene scale ~0.3/step; GT projections are noise-free)
+        assert err_win < err_chain, (err_win, err_chain)
+        assert err_win < 0.05, err_win
+
+    def test_windowed_handles_tracking_failure(self, rng):
+        """A pair with no matches must not crash: pose repeats, valid=False,
+        and the map/link state resets cleanly."""
+        from featurematching_tpu.sfm.windowed import run_sequence_windowed
+
+        gt_poses, X = self._make_sequence(rng, [0.2, 0.3, 0.25, 0.3])
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
+
+        def project(T):
+            Xc = X @ T[:3, :3].T + T[:3, 3]
+            uv = (Xc[:, :2] / Xc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            return uv, Xc[:, 2] > 0.5
+
+        def matcher_fn(i0, i1):
+            if i0 == 1:  # simulate a dropout on the second pair
+                z = np.zeros((400, 2), np.float32)
+                return z, z, np.zeros(400, bool)
+            p0, v0 = project(gt_poses[i0])
+            p1, v1 = project(gt_poses[i1])
+            return p0.astype(np.float32), p1.astype(np.float32), v0 & v1
+
+        traj = run_sequence_windowed(
+            matcher_fn, list(range(len(gt_poses))), K.astype(np.float32), window=4
+        )
+        assert not traj.valid[2]
+        assert traj.valid[[0, 1, 3, 4]].all()
+        # pose repeated at the failed step (up to later in-window BA float noise)
+        np.testing.assert_allclose(traj.poses[2], traj.poses[1], atol=1e-4)
