@@ -103,7 +103,8 @@ def _erf_approx(x):
 
 def _block_kernel(
     x_ref, mask_ref,
-    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+    wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
     out_ref,
     *, num_heads, has_mask,
@@ -136,28 +137,56 @@ def _block_kernel(
     k = qkv[:, :, C : 2 * C]
     v = qkv[:, :, 2 * C :]
 
-    head_outs = []
-    for hi in range(h):
-        qh = q[:, :, hi * d : (hi + 1) * d]
-        kh = k[:, :, hi * d : (hi + 1) * d]
-        vh = v[:, :, hi * d : (hi + 1) * d]
-        s = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (d**-0.5)
-        s = s + bias_ref[hi][None]
-        if has_mask:
-            s = s + mask_ref[...]
-        p = jax.nn.softmax(s, axis=-1)
-        o = jax.lax.dot_general(
-            p.astype(dtype), vh,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        head_outs.append(o)
-    # static python loop -> concat (Mosaic has no scatter for .at[].set)
-    acc = head_outs[0] if h == 1 else jnp.concatenate(head_outs, axis=-1)
+    # Head-packed attention: one batched dot per window instead of one per
+    # (window, head). Batched (CH, 64, d)@(CH, 64, d) dots with d = C/h of
+    # 16 issue CH*h tiny MXU matmuls per grid step and were the measured
+    # bottleneck (~4% MXU util). Instead stack all heads' keys along the
+    # sublane axis with other heads' channels zeroed:
+    #     K_big[b, hi*N+m, c] = k[b, m, c] * (c in head hi)
+    # so  s = q @ K_big^T  gives s[b, n, hi*N+m] = s_hi[b, n, m] EXACTLY
+    # (q's other-head channels multiply zeros). Same trick for V with the
+    # output-lane mask, which also lands each head's output in its own lane
+    # block — the per-head concat disappears. Extra FLOPs are zeros; MXU
+    # issues drop h-fold and every VPU op runs at full lane width.
+    # hmask_ref: precomputed {0,1} block mask [h*N, C], hmask[hi*N+m, c] =
+    # (c in head hi); tile-then-multiply beats per-head where+concat (VPU).
+    hmask = hmask_ref[...]
+    kbig = (k if h == 1 else jnp.concatenate([k] * h, axis=1)) * hmask
+    s = jax.lax.dot_general(
+        q, kbig,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * (d**-0.5)  # [CH, N, h*N]
+    s = s + bias_ref[...]  # packed [N, h*N]
+    if has_mask:
+        m = mask_ref[...]
+        s = s + (m if h == 1 else jnp.concatenate([m] * h, axis=-1))
+    # Per-head softmax over each N-wide lane block, restructured to avoid
+    # 4x(max,exp,sum,div) lane-reduce chains: subtracting any per-row
+    # constant is exact, so use ONE row max over all h*N lanes and ONE exp;
+    # only the per-head denominators need h small lane-slice reduces.
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    if h == 1:
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    else:
+        denom = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.sum(e[:, :, hi * N : (hi + 1) * N], axis=-1, keepdims=True),
+                    (CH, N, N),
+                )
+                for hi in range(h)
+            ],
+            axis=-1,
+        )
+        p = (e / denom).astype(dtype)
+    vbig = (v if h == 1 else jnp.concatenate([v] * h, axis=1)) * hmask
+    acc = jax.lax.dot_general(
+        p, vbig,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)  # [CH, N, C], heads already in their lane blocks
 
     o2 = acc.reshape(CH * N, C)
     o2 = (
@@ -199,11 +228,16 @@ def swin_block_fused(
     mask: Optional[jnp.ndarray],
     params: dict,
     num_heads: int,
-    chunk: int = 16,
+    chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused block over window-space activations. x: [B_, N, C]."""
     B_, N, C = x.shape
+    if chunk is None:
+        # head-packed operands dominate VMEM: kbig/vbig bf16 [chunk, h*N, C]
+        # + s/e f32 [chunk, N, h*N]; keep their sum under ~6.5 MB (the 16 MB
+        # scoped-vmem limit roughly halves under Mosaic double buffering)
+        chunk = max(1, int(6.5e6) // (num_heads * N * (4 * C + 8 * N)))
     chunk = min(chunk, B_)
     while B_ % chunk:
         chunk -= 1
@@ -220,6 +254,17 @@ def swin_block_fused(
     f32 = jnp.float32
     p32 = {k: v.astype(f32) for k, v in params.items()}
     bf = x.dtype
+    # pack rel_bias [h, N, N] -> [N, h*N]: packed[n, hi*N + m] = bias[hi, n, m]
+    rel_packed = jnp.transpose(p32["rel_bias"], (1, 0, 2)).reshape(
+        N, num_heads * N
+    )
+    d = C // num_heads
+    import numpy as _np
+
+    hm = _np.zeros((num_heads * N, C), _np.float32)
+    for hi in range(num_heads):
+        hm[hi * N : (hi + 1) * N, hi * d : (hi + 1) * d] = 1.0
+    hmask = jnp.asarray(hm, bf)
 
     kernel = functools.partial(
         _block_kernel, num_heads=num_heads, has_mask=has_mask
@@ -239,7 +284,8 @@ def swin_block_fused(
             pl.BlockSpec((C,), lambda g: (0,)),
             pl.BlockSpec((C, 3 * C), lambda g: (0, 0)),
             pl.BlockSpec((3 * C,), lambda g: (0,)),
-            pl.BlockSpec((num_heads, N, N), lambda g: (0, 0, 0)),
+            pl.BlockSpec((N, num_heads * N), lambda g: (0, 0)),
+            pl.BlockSpec((num_heads * N, C), lambda g: (0, 0)),
             pl.BlockSpec((C, C), lambda g: (0, 0)),
             pl.BlockSpec((C,), lambda g: (0,)),
             pl.BlockSpec((C,), lambda g: (0,)),
@@ -256,7 +302,7 @@ def swin_block_fused(
         x, mask_pw,
         p32["ln1_scale"], p32["ln1_bias"],
         params["w_qkv"].astype(bf), p32["b_qkv"],
-        p32["rel_bias"],
+        rel_packed, hmask,
         params["w_proj"].astype(bf), p32["b_proj"],
         p32["ln2_scale"], p32["ln2_bias"],
         params["w_mlp1"].astype(bf), p32["b_mlp1"],
