@@ -56,34 +56,53 @@ def gather_fine_windows(
       [B, K, W*W, C] window features, zero outside the image (matches the
       reference's zero-padded unfold).
 
-    Implementation note: a full-map unfold (conv_general_dilated_patches) +
-    contiguous row gather was benchmarked at 10.3 ms vs 6.5 ms for this direct
-    per-tap gather on TPU v5e — the unfold writes W*W copies of the map and
-    loses; the direct gather stays.
+    Implementation note (perf history): a full-map unfold
+    (conv_general_dilated_patches) + contiguous row gather benched 10.3 ms vs
+    6.5 ms for a per-tap row gather on TPU v5e; the per-tap gather then
+    profiled at ~32 GB/s (128 B rows — DMA-descriptor bound, 1.64 ms/call at
+    the flagship shape). Current form: zero-pad x so every window ROW is one
+    in-bounds contiguous [W, C] slice and lax.gather W-pixel segments
+    (W*C*2 = 896 B per DMA) — one descriptor per (match, row) instead of per
+    tap.
     """
     B, Hf, Wf, C = feat_f.shape
     hc, wc = grid_c
     K = ids.shape[1]
-    off = window_center_offset(window, stride)
+    W = window
+    off = window_center_offset(W, stride)
+    pad = max(0, -off)  # left x-margin so x0 + pad >= 0
 
     cell_y = (ids // wc).astype(jnp.int32)  # [B, K]
     cell_x = (ids % wc).astype(jnp.int32)
     y0 = cell_y * stride + off  # top-left tap, may be negative
     x0 = cell_x * stride + off
 
-    dy = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
-    dx = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
-    ys = y0[:, :, None, None] + dy[None, None]  # [B, K, W, W]
-    xs = x0[:, :, None, None] + dx[None, None]
-    inb = (ys >= 0) & (ys < Hf) & (xs >= 0) & (xs < Wf)
-    ys_c = jnp.clip(ys, 0, Hf - 1)
-    xs_c = jnp.clip(xs, 0, Wf - 1)
+    # pad x with zeros on both sides: window rows never clamp, and
+    # out-of-image x taps read zeros (matching the zero-padded unfold)
+    right = max(0, ((wc - 1) * stride + off + W) - Wf)
+    fp = jnp.pad(feat_f, ((0, 0), (0, 0), (pad, right), (0, 0)))
 
-    flat = feat_f.reshape(B, Hf * Wf, C)
-    lin = (ys_c * Wf + xs_c).reshape(B, K * window * window)  # [B, KWW]
-    gathered = jnp.take_along_axis(flat, lin[..., None], axis=1)  # [B, KWW, C]
-    gathered = gathered.reshape(B, K, window * window, C)
-    return gathered * inb.reshape(B, K, window * window, 1).astype(gathered.dtype)
+    dy = jnp.arange(W, dtype=jnp.int32)
+    ys = y0[:, :, None] + dy[None, None]  # [B, K, W]
+    row_ok = (ys >= 0) & (ys < Hf)
+    ys_c = jnp.clip(ys, 0, Hf - 1)
+    starts = jnp.stack(
+        [ys_c, jnp.broadcast_to((x0 + pad)[:, :, None], ys.shape)], axis=-1
+    ).reshape(B, K * W, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1),
+    )
+    gathered = jax.vmap(
+        lambda op, st: jax.lax.gather(
+            op, st, dnums, slice_sizes=(1, W, C), mode="clip"
+        )
+    )(fp, starts)  # [B, K*W, W, C]
+    gathered = gathered.reshape(B, K, W * W, C)
+    ok = jnp.repeat(row_ok, W, axis=-1).reshape(B, K, W * W, 1)
+    return gathered * ok.astype(gathered.dtype)
 
 
 def normalized_grid(window: int, dtype=jnp.float32) -> jnp.ndarray:

@@ -38,6 +38,7 @@ from featurematching_tpu.models.backbone_swin import (
 from featurematching_tpu.models.matcher import MatcherOutput
 from featurematching_tpu.models.transformer import LocalFeatureTransformer
 from featurematching_tpu.ops.pallas_dual_softmax import dual_softmax_match_stats
+from featurematching_tpu.ops.pallas_ln import layer_norm_chain
 from featurematching_tpu.ops.pallas_swin_block import swin_block_fused
 
 
@@ -119,13 +120,26 @@ def _patch_merge(x, H, W, p):
     return _dense(_ln(cat, p["norm"]), p["reduction"])
 
 
-def _patch_expand(x, H, W, p, dim_scale):
+def _patch_expand(x, H, W, p, p_norm_up, interpret):
+    """Expand dense + depth-to-space + PatchExpand LN + stage norm_up LN.
+
+    The depth-to-space reshuffle must stay in bf16: without the barrier XLA
+    hoists the LayerNorms' f32 convert above the reshape/transpose pair and
+    the three full-feature-map layout copies run at twice the bytes
+    (profiled at ~3.6 ms of the forward at [8,19200,256] -> [8,76800,64]).
+    The two back-to-back LNs run as one Pallas pass (two HBM round trips
+    instead of ~6 reduce/apply passes).
+    """
     B, L, C = x.shape
     y = _dense(x, p["expand"])
     Ce = y.shape[-1]
     y = y.reshape(B, H, W, 2, 2, Ce // 4)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 4 * H * W, Ce // 4)
-    return _ln(y, p["norm"])
+    y = jax.lax.optimization_barrier(y)
+    return layer_norm_chain(
+        y, p["norm"]["scale"], p["norm"]["bias"],
+        p_norm_up["scale"], p_norm_up["bias"], interpret=interpret,
+    )
 
 
 def swin_backbone_fast(
@@ -159,7 +173,8 @@ def swin_backbone_fast(
         if i < n_stages - 1:
             y = _patch_merge(y, Wh, Ww, p[f"enc{i}_merge"])
             Wh, Ww = (Wh + 1) // 2, (Ww + 1) // 2
-        y = _ln(y, p[f"norm_down{i}"])
+        nd = p[f"norm_down{i}"]
+        y = layer_norm_chain(y, nd["scale"], nd["bias"], interpret=interpret)
 
     out_c = out_f = None
     n_up = len(s.depths_up)
@@ -172,10 +187,10 @@ def swin_backbone_fast(
                 y, Wh, Ww, p[f"dec{j}_blk{b}"], s.window_size, shift, heads,
                 interpret,
             )
-        scale = 2 if j < n_up - 1 else 4
-        y = _patch_expand(y, Wh, Ww, p[f"dec{j}_expand"], scale)
+        y = _patch_expand(
+            y, Wh, Ww, p[f"dec{j}_expand"], p[f"norm_up{j}"], interpret
+        )
         Wh, Ww = Wh * 2, Ww * 2
-        y = _ln(y, p[f"norm_up{j}"])
         if j == 0:
             out_c = _dense(y, p["linear_middle"]).reshape(B, Wh, Ww, 256)
         elif j == n_up - 1:

@@ -113,3 +113,47 @@ class TestShardedMatching:
         ref = extract_matches(conf, (h, w), (h, w), 0.01, 1, 32)
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
         np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+
+
+class TestLayerNormChain:
+    """ops/pallas_ln.layer_norm_chain vs plain jnp double-LN."""
+
+    def _ref_ln(self, x, s, b, eps=1e-6):
+        x32 = x.astype(np.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+        return (x32 - mu) / np.sqrt(var + eps) * s + b
+
+    def test_single_and_double(self, rng):
+        from featurematching_tpu.ops.pallas_ln import layer_norm_chain
+
+        x = rng.standard_normal((2, 300, 64)).astype(np.float32)
+        s1 = 1 + 0.1 * rng.standard_normal(64).astype(np.float32)
+        b1 = 0.1 * rng.standard_normal(64).astype(np.float32)
+        s2 = 1 + 0.1 * rng.standard_normal(64).astype(np.float32)
+        b2 = 0.1 * rng.standard_normal(64).astype(np.float32)
+
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        got1 = np.asarray(
+            layer_norm_chain(xb, jnp.asarray(s1), jnp.asarray(b1), interpret=True)
+        ).astype(np.float32)
+        ref1 = self._ref_ln(np.asarray(xb).astype(np.float32), s1, b1)
+        np.testing.assert_allclose(got1, ref1, atol=2e-2)
+
+        got2 = np.asarray(
+            layer_norm_chain(
+                xb, jnp.asarray(s1), jnp.asarray(b1), jnp.asarray(s2),
+                jnp.asarray(b2), interpret=True,
+            )
+        ).astype(np.float32)
+        ref2 = self._ref_ln(ref1, s2, b2)
+        np.testing.assert_allclose(got2, ref2, atol=2e-2)
+
+    def test_odd_row_count_chunking(self, rng):
+        from featurematching_tpu.ops.pallas_ln import layer_norm_chain
+
+        x = jnp.asarray(rng.standard_normal((7, 100, 32)).astype(np.float32))
+        s = jnp.ones(32); b = jnp.zeros(32)
+        got = np.asarray(layer_norm_chain(x, s, b, interpret=True))
+        ref = self._ref_ln(np.asarray(x), np.ones(32, np.float32), np.zeros(32, np.float32))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
