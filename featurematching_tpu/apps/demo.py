@@ -35,7 +35,14 @@ def load_image(path: str, size: Tuple[int, int], gray: bool) -> np.ndarray:
 
 
 class VideoStreamer:
-    """Frames from video / image dir / glob / camera (demo/utils.py:56-195)."""
+    """Frames from video / image dir / glob / camera / IP stream
+    (demo/utils.py:56-195).
+
+    IP/RTSP sources (`http...` / `rtsp...`) are read by a background daemon
+    thread into a latest-frame slot, so the consumer always sees the
+    freshest frame instead of a stale decode queue — the reference's
+    threaded IP reader (demo/utils.py:172-195).
+    """
 
     def __init__(self, source: str, size: Tuple[int, int], gray: bool, skip: int = 1,
                  max_frames: int = 1_000_000):
@@ -45,17 +52,49 @@ class VideoStreamer:
         self.max_frames = max_frames
         self._paths = None
         self._cap = None
+        self._ip_thread = None
+        self._ip_running = False
+        self._ip_frame = None  # (seq, ndarray) latest-frame slot
         if os.path.isdir(source):
             self._paths = sorted(
                 p for p in glob.glob(os.path.join(source, "*"))
                 if p.lower().endswith((".png", ".jpg", ".jpeg"))
             )
-        elif any(ch in source for ch in "*?["):
+        elif any(ch in source for ch in "*?[") and not source.startswith(
+            ("http", "rtsp")
+        ):
             self._paths = sorted(glob.glob(source))
         else:
             import cv2
 
             self._cap = cv2.VideoCapture(int(source) if source.isdigit() else source)
+            if isinstance(source, str) and source.startswith(("http", "rtsp")):
+                self._start_ip_thread()
+
+    def _start_ip_thread(self):
+        import threading
+
+        self._ip_running = True
+
+        def pump():
+            seq = 0
+            while self._ip_running:
+                ok, frame = self._cap.read()
+                if not ok:
+                    self._ip_running = False
+                    return
+                seq += 1
+                self._ip_frame = (seq, frame)  # atomic slot swap (GIL)
+
+        self._ip_thread = threading.Thread(target=pump, daemon=True)
+        self._ip_thread.start()
+
+    def close(self):
+        self._ip_running = False
+        if self._ip_thread is not None:
+            self._ip_thread.join(timeout=2.0)
+        if self._cap is not None:
+            self._cap.release()
 
     def frames(self) -> Iterator[np.ndarray]:
         import cv2
@@ -69,6 +108,20 @@ class VideoStreamer:
                     return
                 count += 1
                 yield load_image(p, self.size, self.gray)
+        elif self._ip_thread is not None:
+            import time
+
+            last_seq = 0
+            while count < self.max_frames:
+                slot = self._ip_frame
+                if slot is None or slot[0] == last_seq:
+                    if not self._ip_running:
+                        return  # stream ended / reader died
+                    time.sleep(0.001)  # wait for a fresh frame
+                    continue
+                last_seq, frame = slot
+                count += 1
+                yield self._convert(frame, cv2)
         else:
             i = -1
             while count < self.max_frames:
@@ -79,10 +132,13 @@ class VideoStreamer:
                 if i % self.skip:
                     continue
                 count += 1
-                if self.gray:
-                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-                frame = cv2.resize(frame, self.size).astype(np.float32) / 255.0
-                yield frame[..., None] if frame.ndim == 2 else frame[..., ::-1].copy()
+                yield self._convert(frame, cv2)
+
+    def _convert(self, frame: np.ndarray, cv2) -> np.ndarray:
+        if self.gray:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        frame = cv2.resize(frame, self.size).astype(np.float32) / 255.0
+        return frame[..., None] if frame.ndim == 2 else frame[..., ::-1].copy()
 
 
 class PairMatcher:

@@ -100,6 +100,47 @@ class TestDemoApp:
         frames2 = list(VideoStreamer(str(d), (48, 32), gray=True, skip=2).frames())
         assert len(frames2) == 2
 
+    def test_ip_stream_threaded_reader(self, monkeypatch, rng):
+        """IP/RTSP sources run a background reader into a latest-frame slot:
+        the consumer gets fresh frames (sequence advances) and a dead stream
+        terminates the iterator (reference demo/utils.py:172-195)."""
+        import time
+
+        import featurematching_tpu.apps.demo as demo_mod
+        from featurematching_tpu.apps.demo import VideoStreamer
+
+        class FakeCap:
+            def __init__(self, src):
+                self.n = 0
+
+            def read(self):
+                time.sleep(0.002)
+                self.n += 1
+                if self.n > 25:
+                    return False, None
+                frame = np.full((16, 24, 3), self.n * 10 % 255, np.uint8)
+                return True, frame
+
+            def release(self):
+                pass
+
+        import cv2
+
+        monkeypatch.setattr(cv2, "VideoCapture", lambda src: FakeCap(src))
+        vs = VideoStreamer("http://camera.local/stream", (24, 16), gray=False,
+                           max_frames=5)
+        frames = []
+        for f in vs.frames():
+            frames.append(f)
+            time.sleep(0.005)  # consumer slower than producer -> frames drop
+        assert 1 <= len(frames) <= 5
+        assert frames[0].shape == (16, 24, 3)
+        # values advance: the slot held the FRESHEST frame, not a queue
+        vals = [int(f[0, 0, 0] * 255 + 0.5) for f in frames]
+        assert vals == sorted(vals) and len(set(vals)) == len(vals)
+        vs.close()
+        assert not vs._ip_running
+
 
 class TestEvaluateApp:
     def test_synthetic_eval_cli(self, tmp_path):
