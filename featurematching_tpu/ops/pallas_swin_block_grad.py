@@ -102,12 +102,15 @@ def swin_block_train_reference(
 
 def _fwd_recompute(
     x, mask, s1, s2,
-    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+    wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
     num_heads, want_intermediates,
 ):
     """Shared forward math over VMEM-resident values. x: [CH, N, C] dtype.
     mask: [CH, N, N] f32 or None. s1/s2: [CH, 1, 1] f32 or None.
+    bias_ref: PACKED rel bias [N, h*N]; hmask_ref: {0,1} head-block channel
+    mask [h*N, C] (see pallas_swin_block head-packed attention notes).
     Returns `out` or the full intermediate set for the backward pass."""
     CH, N, C = x.shape
     h = num_heads
@@ -137,27 +140,42 @@ def _fwd_recompute(
     k = qkv[:, :, C : 2 * C]
     v = qkv[:, :, 2 * C :]
 
-    head_outs = []
-    for hi in range(h):
-        qh = q[:, :, hi * d : (hi + 1) * d]
-        kh = k[:, :, hi * d : (hi + 1) * d]
-        vh = v[:, :, hi * d : (hi + 1) * d]
-        s = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (d**-0.5)
-        s = s + bias_ref[hi][None]
-        if mask is not None:
-            s = s + mask
-        p = jax.nn.softmax(s, axis=-1)
-        o = jax.lax.dot_general(
-            p.astype(dtype), vh,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        head_outs.append(o)
-    a = head_outs[0] if h == 1 else jnp.concatenate(head_outs, axis=-1)
+    # head-packed attention (same construction as pallas_swin_block):
+    # K_big[b, hi*N+m, c] = k[b, m, c] * (c in head hi), one batched dot
+    # per window chunk, per-head lane blocks in the score/probability tensor
+    hmask = hmask_ref[...]
+    kbig = (k if h == 1 else jnp.concatenate([k] * h, axis=1)) * hmask
+    vbig = (v if h == 1 else jnp.concatenate([v] * h, axis=1)) * hmask
+    s = jax.lax.dot_general(
+        q, kbig,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * (d**-0.5)  # [CH, N, h*N]
+    s = s + bias_ref[...]
+    if mask is not None:
+        s = s + (mask if h == 1 else jnp.concatenate([mask] * h, axis=-1))
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    if h == 1:
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+    else:
+        denom = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.sum(e[:, :, hi * N : (hi + 1) * N], axis=-1, keepdims=True),
+                    (CH, N, N),
+                )
+                for hi in range(h)
+            ],
+            axis=-1,
+        )
+        p = e / denom  # [CH, N, h*N] f32
+    abig = jax.lax.dot_general(
+        p.astype(dtype), vbig,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)  # [CH, N, C] — heads land in their own lane blocks
+    a = abig
 
     af = a.reshape(CH * N, C)
     o2 = (
@@ -200,12 +218,14 @@ def _fwd_recompute(
     return dict(
         h1=h1, xhat1=xhat1, rstd1=rstd1, qkv=qkv, a=a, x1=x1,
         h2=h2, xhat2=xhat2, rstd2=rstd2, y1=y1, ge=ge,
+        p=p, kbig=kbig, vbig=vbig,
     )
 
 
 def _train_fwd_kernel(
     x_ref, mask_ref, s1_ref, s2_ref,
-    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+    wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
     out_ref,
     *, num_heads, has_mask, has_scale,
@@ -216,7 +236,8 @@ def _train_fwd_kernel(
     s2 = s2_ref[...] if has_scale else None
     out_ref[...] = _fwd_recompute(
         x, mask, s1, s2,
-        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+        wproj_ref, bproj_ref,
         ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
         num_heads, want_intermediates=False,
     )
@@ -240,7 +261,8 @@ def _ln_bwd(dh, xhat, rstd, scale):
 
 def _train_bwd_kernel(
     x_ref, mask_ref, s1_ref, s2_ref, g_ref,
-    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+    wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
     dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dbias_ref,
     dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref, dwm1_ref, dbm1_ref,
@@ -258,7 +280,8 @@ def _train_bwd_kernel(
 
     inter = _fwd_recompute(
         x, mask, s1, s2,
-        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
+        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+        wproj_ref, bproj_ref,
         ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
         num_heads, want_intermediates=True,
     )
@@ -332,66 +355,76 @@ def _train_bwd_kernel(
 
     qkv = inter["qkv"]
     q = qkv[:, :, :C]
-    k = qkv[:, :, C : 2 * C]
-    v = qkv[:, :, 2 * C :]
     scale = d**-0.5
 
-    dq_heads, dk_heads, dv_heads, dbias_heads = [], [], [], []
-    for hi in range(h):
-        qh = q[:, :, hi * d : (hi + 1) * d]
-        kh = k[:, :, hi * d : (hi + 1) * d]
-        vh = v[:, :, hi * d : (hi + 1) * d]
-        s = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = s + bias_ref[hi][None]
-        if mask is not None:
-            s = s + mask
-        p = jax.nn.softmax(s, axis=-1)  # [CH, N, N] f32
-        p_lo = p.astype(dtype)
+    # head-packed attention backward: the forward recompute already holds
+    # p [CH, N, h*N] f32 and kbig/vbig [CH, h*N, C] (head-blocked, masked).
+    # Per-head dots become ONE batched dot each; gradients that land in the
+    # blocked layout (dv, dk) are folded back to [CH, N, C] by summing the
+    # hmask-selected head blocks (each channel is nonzero in exactly one).
+    p = inter["p"]
+    kbig = inter["kbig"]
+    vbig = inter["vbig"]
+    hmask32 = hmask_ref[...].astype(jnp.float32)
+    p_lo = p.astype(dtype)
+    da_lo = da.astype(dtype)
 
-        da_h = da[:, :, hi * d : (hi + 1) * d].astype(dtype)
-        # dv = p^T da_h (contract over query axis)
-        dv_h = jax.lax.dot_general(
-            p_lo, da_h,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [CH, N(keys), d] f32
-        dp = jax.lax.dot_general(
-            da_h, vh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [CH, N, N] f32
-        ds32 = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbias_heads.append(jnp.sum(ds32, axis=0))
-        ds = ds32.astype(dtype)
-        dq_h = jax.lax.dot_general(
-            ds, kh,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dk_h = jax.lax.dot_general(
-            ds, qh,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dq_heads.append(dq_h)
-        dk_heads.append(dk_h)
-        dv_heads.append(dv_h)
+    dv_big = jax.lax.dot_general(
+        p_lo, da_lo,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [CH, h*N, C] f32 (junk outside each block's channels)
+    dp = jax.lax.dot_general(
+        da_lo, vbig,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [CH, N, h*N] f32
+    if h == 1:
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    else:
+        row = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.sum(
+                        (dp * p)[:, :, hi * N : (hi + 1) * N],
+                        axis=-1, keepdims=True,
+                    ),
+                    (CH, N, N),
+                )
+                for hi in range(h)
+            ],
+            axis=-1,
+        )
+    ds32 = p * (dp - row)  # [CH, N, h*N]
+    dbias_ref[...] += jnp.sum(ds32, axis=0)  # packed [N, h*N]
+    ds = ds32.astype(dtype)
 
-    dbias_ref[...] += (
-        dbias_heads[0][None] if h == 1 else jnp.stack(dbias_heads)
-    )
-    dqkv32 = jnp.concatenate(
-        [
-            dq_heads[0] if h == 1 else jnp.concatenate(dq_heads, axis=-1),
-            dk_heads[0] if h == 1 else jnp.concatenate(dk_heads, axis=-1),
-            dv_heads[0] if h == 1 else jnp.concatenate(dv_heads, axis=-1),
-        ],
-        axis=-1,
-    ).reshape(CH * N, 3 * C)  # f32
+    dq = jax.lax.dot_general(
+        ds, kbig,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [CH, N, C] — kbig zeros select each channel's head block
+    dk_big = jax.lax.dot_general(
+        ds, q.astype(dtype),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [CH, h*N, C]
+
+    def fold_blocks(big):
+        if h == 1:
+            return big * hmask32
+        acc = None
+        for hi in range(h):
+            part = (
+                big[:, hi * N : (hi + 1) * N, :]
+                * hmask32[hi * N : (hi + 1) * N, :]
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    dv = fold_blocks(dv_big)
+    dk = fold_blocks(dk_big) * scale
+    dqkv32 = jnp.concatenate([dq, dk, dv], axis=-1).reshape(CH * N, 3 * C)
     dqkv = dqkv32.astype(dtype)
 
     h1f = inter["h1"].reshape(CH * N, C)  # dtype
@@ -429,7 +462,8 @@ def _param_specs(C: int, HID: int, num_heads: int, N: int):
         pl.BlockSpec((C,), lambda g: (0,)),
         pl.BlockSpec((C, 3 * C), lambda g: (0, 0)),
         pl.BlockSpec((3 * C,), lambda g: (0,)),
-        pl.BlockSpec((num_heads, N, N), lambda g: (0, 0, 0)),
+        pl.BlockSpec((N, num_heads * N), lambda g: (0, 0)),  # packed bias
+        pl.BlockSpec((num_heads * N, C), lambda g: (0, 0)),  # hmask
         pl.BlockSpec((C, C), lambda g: (0, 0)),
         pl.BlockSpec((C,), lambda g: (0,)),
         pl.BlockSpec((C,), lambda g: (0,)),
@@ -441,12 +475,22 @@ def _param_specs(C: int, HID: int, num_heads: int, N: int):
     ]
 
 
-def _param_args(params: dict, bf):
+def _param_args(params: dict, bf, num_heads: int):
+    import numpy as _np
+
     p32 = {k: params[k].astype(jnp.float32) for k in PARAM_KEYS}
+    h, N, _ = params["rel_bias"].shape
+    C = params["w_proj"].shape[0]
+    d = C // num_heads
+    # rel_bias [h, N, N] -> packed [N, h*N]; {0,1} head-block channel mask
+    rel_packed = jnp.transpose(p32["rel_bias"], (1, 0, 2)).reshape(N, h * N)
+    hm = _np.zeros((h * N, C), _np.float32)
+    for hi in range(h):
+        hm[hi * N : (hi + 1) * N, hi * d : (hi + 1) * d] = 1.0
     return (
         p32["ln1_scale"], p32["ln1_bias"],
         params["w_qkv"].astype(bf), p32["b_qkv"],
-        p32["rel_bias"],
+        rel_packed, jnp.asarray(hm, bf),
         params["w_proj"].astype(bf), p32["b_proj"],
         p32["ln2_scale"], p32["ln2_bias"],
         params["w_mlp1"].astype(bf), p32["b_mlp1"],
@@ -499,7 +543,7 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
         out_specs=pl.BlockSpec((chunk, N, C), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
         interpret=interpret,
-    )(x, mask_pw, s1p, s2p, *_param_args(params, x.dtype))
+    )(x, mask_pw, s1p, s2p, *_param_args(params, x.dtype, num_heads))
 
 
 @functools.partial(
@@ -530,7 +574,7 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret):
         jax.ShapeDtypeStruct((C,), f32),                # dln1_bias
         jax.ShapeDtypeStruct((C, 3 * C), f32),          # dw_qkv
         jax.ShapeDtypeStruct((3 * C,), f32),            # db_qkv
-        jax.ShapeDtypeStruct((num_heads, N, N), f32),   # drel_bias
+        jax.ShapeDtypeStruct((N, num_heads * N), f32),  # drel_bias (packed)
         jax.ShapeDtypeStruct((C, C), f32),              # dw_proj
         jax.ShapeDtypeStruct((C,), f32),                # db_proj
         jax.ShapeDtypeStruct((C,), f32),                # dln2_scale
@@ -544,7 +588,7 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret):
     out_specs = [
         pl.BlockSpec((chunk, N, C), lambda g_: (g_, 0, 0)),
         acc(C), acc(C), acc(C, 3 * C), acc(3 * C),
-        acc(num_heads, N, N), acc(C, C), acc(C),
+        acc(N, num_heads * N), acc(C, C), acc(C),
         acc(C), acc(C), acc(C, HID), acc(HID), acc(HID, C), acc(C),
     ]
     outs = pl.pallas_call(
@@ -560,10 +604,15 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(x, mask_pw, s1p, s2p, g, *_param_args(params, x.dtype))
+    )(x, mask_pw, s1p, s2p, g, *_param_args(params, x.dtype, num_heads))
     dx = outs[0].astype(x.dtype)
     keys = [k for k in PARAM_KEYS]
-    dparams = {k: outs[1 + i].astype(params[k].dtype) for i, k in enumerate(keys)}
+    dparams = {k: outs[1 + i] for i, k in enumerate(keys)}
+    # unpack drel_bias [N, h*N] -> [h, N, N]
+    dparams["rel_bias"] = jnp.transpose(
+        dparams["rel_bias"].reshape(N, num_heads, N), (1, 0, 2)
+    )
+    dparams = {k: v.astype(params[k].dtype) for k, v in dparams.items()}
     return dx, dparams
 
 
