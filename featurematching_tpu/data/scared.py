@@ -66,6 +66,60 @@ def convert_K(K: np.ndarray, img_size: Tuple[int, int] = (640, 480)) -> np.ndarr
     return K
 
 
+def _first_occurrence_np(keys: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """First occurrence of each key among valid rows, numpy mirror of
+    matching.supervision._first_occurrence_mask (stable sort order)."""
+    big = np.iinfo(np.int32).max
+    k = np.where(valid, keys.astype(np.int64), big)
+    order = np.argsort(k, kind="stable")
+    sorted_k = k[order]
+    first_sorted = np.ones_like(sorted_k, dtype=bool)
+    first_sorted[1:] = sorted_k[1:] != sorted_k[:-1]
+    first = np.empty_like(first_sorted)
+    first[order] = first_sorted
+    return first & valid
+
+
+def host_fine_mtx(
+    gt_kp0: np.ndarray,
+    gt_kp1: np.ndarray,
+    gt_mask: np.ndarray,
+    grid: Tuple[int, int],
+    coarse_scale: int = 8,
+):
+    """Host-side precomputed supervision scatter matrices — the legacy
+    dataset variant where `__getitem__` ships `fine_mtx_{0,1}` with the
+    sample instead of the in-graph supervision building them
+    (/root/reference/datasets/scared_new.py:252-268). Output is exactly
+    `matching.supervision.compute_supervision_coarse`'s fine_mtx / spv ids
+    for the same keypoints (asserted by tests/test_data.py).
+
+    gt_kp0/gt_kp1: [G, 2] full-res pixel coords; gt_mask: [G] bool.
+    grid: (h_c, w_c). Returns (fine_mtx_0 [L,2], fine_mtx_1 [L,2],
+    spv_i_ids [G], spv_j_ids [G], keep [G]).
+    """
+    h, w = grid
+    L = h * w
+    cell0 = (gt_kp0 // coarse_scale).astype(np.int64)
+    cell1 = (gt_kp1 // coarse_scale).astype(np.int64)
+    i_ids = cell0[:, 0] + cell0[:, 1] * w
+    j_ids = cell1[:, 0] + cell1[:, 1] * w
+    in_grid = (
+        (i_ids >= 0) & (i_ids < L) & (j_ids >= 0) & (j_ids < L) & gt_mask
+    )
+    keep_j = _first_occurrence_np(j_ids, in_grid)
+    keep_i = _first_occurrence_np(i_ids, in_grid & keep_j)
+    keep = keep_i & keep_j & in_grid
+
+    i_safe = np.where(keep, i_ids, 0).astype(np.int32)
+    j_safe = np.where(keep, j_ids, 0).astype(np.int32)
+    fine_mtx_0 = np.zeros((L, 2), np.float32)
+    fine_mtx_1 = np.zeros((L, 2), np.float32)
+    fine_mtx_0[i_safe[keep]] = gt_kp0[keep].astype(np.float32)
+    fine_mtx_1[j_safe[keep]] = gt_kp1[keep].astype(np.float32)
+    return fine_mtx_0, fine_mtx_1, i_safe, j_safe, keep
+
+
 class ScaredPairDataset:
     """Enumerates frame pairs of one keyframe root; returns fixed-shape dicts."""
 
@@ -80,6 +134,7 @@ class ScaredPairDataset:
         min_gt_matches: int = 250,
         flag: str = "Left",
         with_scene: bool = False,
+        precompute_fine_mtx: bool = False,
         seed: int = 0,
     ):
         self.root = keyframe_root
@@ -87,6 +142,7 @@ class ScaredPairDataset:
         self.read_img_gray = read_img_gray
         self.num_gt = num_gt
         self.with_scene = with_scene
+        self.precompute_fine_mtx = precompute_fine_mtx
         self.flag = flag
 
         img_dir = os.path.join(keyframe_root, "raw_images", flag)
@@ -189,6 +245,15 @@ class ScaredPairDataset:
         if self.with_scene:
             sample["scene_image0"] = np.load(self._scene_path(i0)).astype(np.float32)
             sample["scene_image1"] = np.load(self._scene_path(i1)).astype(np.float32)
+        if self.precompute_fine_mtx:
+            W, H = self.img_size
+            fm0, fm1, si, sj, keep = host_fine_mtx(
+                gt0, gt1, gmask, (H // 8, W // 8)
+            )
+            sample.update(
+                fine_mtx_0=fm0, fine_mtx_1=fm1,
+                spv_i_ids=si, spv_j_ids=sj, spv_mask=keep,
+            )
         return sample
 
     @property

@@ -164,6 +164,48 @@ class TestScaredDataset:
             s["K0"][0, 0], 1000.0 * 128 / 1280.0, rtol=1e-5
         )
 
+    def test_precomputed_fine_mtx_matches_in_graph(self, tmp_path, rng):
+        """Legacy fine_mtx-precomputed variant (scared_new.py:252-268 era):
+        the host-side scatter must equal the in-graph supervision exactly."""
+        import jax.numpy as jnp
+
+        from featurematching_tpu.data.scared import ScaredPairDataset
+        from featurematching_tpu.matching.supervision import (
+            compute_supervision_coarse,
+        )
+
+        root = str(tmp_path / "kf1")
+        write_scared_fixture(root)
+        ds = ScaredPairDataset(
+            root, img_size=(128, 96), min_gt_matches=1,
+            precompute_fine_mtx=True,
+        )
+        assert len(ds) > 0
+        found_nonzero = False
+        for idx in range(min(3, len(ds))):
+            sample = ds[idx]
+            assert sample["fine_mtx_0"].shape == ((96 // 8) * (128 // 8), 2)
+            sup = compute_supervision_coarse(
+                jnp.asarray(sample["gt_kp0"])[None],
+                jnp.asarray(sample["gt_kp1"])[None],
+                jnp.asarray(sample["gt_mask"])[None],
+                (96 // 8, 128 // 8), (96 // 8, 128 // 8),
+            )
+            np.testing.assert_array_equal(
+                sample["fine_mtx_0"], np.asarray(sup.fine_mtx_0[0])
+            )
+            np.testing.assert_array_equal(
+                sample["fine_mtx_1"], np.asarray(sup.fine_mtx_1[0])
+            )
+            np.testing.assert_array_equal(
+                sample["spv_i_ids"], np.asarray(sup.spv_i_ids[0])
+            )
+            np.testing.assert_array_equal(
+                sample["spv_mask"], np.asarray(sup.spv_mask[0])
+            )
+            found_nonzero |= bool(sample["spv_mask"].any())
+        assert found_nonzero  # fixture produces real supervision targets
+
     def test_discover_roots(self, tmp_path):
         root = str(tmp_path / "dataset_1" / "keyframe_1")
         write_scared_fixture(root, n_frames=2)
