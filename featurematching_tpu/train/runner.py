@@ -59,7 +59,16 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, step: int, state: TrainState) -> None:
+    def save(self, step: int, state: TrainState, wait: bool = True) -> None:
+        """Save the full train state.
+
+        wait=False uses orbax's async commit: `save` returns once the
+        host-side copy is staged and the directory write/finalize runs on a
+        background thread, overlapping checkpoint IO with the next training
+        steps (SURVEY.md §5 failure-detection: async checkpointing). orbax
+        itself serializes with any in-flight save; `wait()` (or the next
+        blocking call) is the completion barrier.
+        """
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -67,9 +76,15 @@ class CheckpointManager:
             "step": state.step,
         }
         self.mngr.save(step, args=self._ocp.args.StandardSave(payload))
+        if wait:
+            self.mngr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
         self.mngr.wait_until_finished()
 
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        self.mngr.wait_until_finished()  # never read past an in-flight save
         step = self.mngr.latest_step() if step is None else step
         if step is None:
             return state
@@ -233,6 +248,7 @@ class Runner:
                     )
             if self.val_loader is not None:
                 last_val = self.validate(epoch)
+        self.ckpt.wait()  # commit any in-flight async checkpoint
         return last_val
 
     def validate(self, epoch: int = 0) -> Dict[str, float]:
@@ -312,5 +328,6 @@ class Runner:
         )
         if mean_auc >= self.best_auc:
             self.best_auc = mean_auc
-            self.ckpt.save(step, jax.device_get(self.state))
+            # async: checkpoint IO overlaps the next training steps
+            self.ckpt.save(step, jax.device_get(self.state), wait=False)
         return results

@@ -63,6 +63,46 @@ class TestRunner:
         assert os.path.exists(os.path.join(workdir, "logs", "metrics.jsonl"))
 
 
+class TestAsyncCheckpoint:
+    def test_async_save_commits_and_restores(self, tmp_path):
+        """wait=False saves must be readable after wait(); restore barriers
+        against in-flight saves (SURVEY.md §5 async checkpointing)."""
+        import jax.numpy as jnp
+
+        import optax
+
+        from featurematching_tpu.train.runner import CheckpointManager
+        from featurematching_tpu.train.step import TrainState
+
+        tx = optax.sgd(1e-3)
+        state = TrainState(
+            params={"w": jnp.arange(8, dtype=jnp.float32)},
+            batch_stats={},
+            opt_state={"m": jnp.ones(8)},
+            step=jnp.asarray(7, jnp.int32),
+            tx=tx,
+        )
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(7, state, wait=False)
+        mngr.save(9, state.replace(step=jnp.asarray(9, jnp.int32)), wait=False)
+        mngr.wait()
+        assert mngr.latest_step() == 9
+
+        blank = TrainState(
+            params={"w": jnp.zeros(8)},
+            batch_stats={},
+            opt_state={"m": jnp.zeros(8)},
+            step=jnp.asarray(0, jnp.int32),
+            tx=tx,
+        )
+        fresh = CheckpointManager(str(tmp_path / "ckpt"))
+        restored = fresh.restore(blank)
+        assert int(restored.step) == 9
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["w"]), np.arange(8, dtype=np.float32)
+        )
+
+
 class TestDemoApp:
     def test_pair_cli(self, tmp_path, rng):
         import cv2
