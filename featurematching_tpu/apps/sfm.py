@@ -3,7 +3,8 @@ poses, optionally pose-graph-optimize, and export the trajectory.
 
     python -m featurematching_tpu.apps.sfm SOURCE --intrinsics fx fy cx cy \
         [--ckpt DIR] [--out traj.txt] [--size 640 480] [--gray] \
-        [--skip 1] [--max-frames 100] [--thr 0.2] [--pgo] [--windowed W]
+        [--skip 1] [--max-frames 100] [--thr 0.2] [--pgo] [--windowed W] \
+        [--loop-closure]
 
 SOURCE as in the demo CLI (directory / glob / video / camera index).
 Output: TUM trajectory format (`t tx ty tz qx qy qz qw`, camera-to-world),
@@ -36,6 +37,13 @@ def main(argv=None) -> int:
                    help="use the keyframe-map pipeline with scale propagation "
                         "and sliding-window BA over the last W frames "
                         "(0 = plain two-view chaining)")
+    p.add_argument("--loop-closure", action="store_true",
+                   help="detect revisits (global-descriptor retrieval + "
+                        "geometric verification) and pose-graph-correct the "
+                        "windowed trajectory; implies --windowed 5 unless set")
+    p.add_argument("--loop-sim-thresh", type=float, default=0.88)
+    p.add_argument("--loop-min-gap", type=int, default=10)
+    p.add_argument("--loop-min-inliers", type=int, default=30)
     args = p.parse_args(argv)
 
     import jax
@@ -71,7 +79,24 @@ def main(argv=None) -> int:
         m[:n] = True
         return p0, p1, m
 
-    if args.windowed > 0:
+    if args.loop_closure:
+        from featurematching_tpu.sfm.loop_closure import (
+            image_descriptor,
+            run_sequence_loop_closed,
+        )
+
+        traj, loop_edges = run_sequence_loop_closed(
+            matcher_fn, list(range(len(frames))), K,
+            descriptor_fn=lambda i: image_descriptor(frames[i]),
+            window=args.windowed or 5, pixel_thr=args.pixel_thr,
+            min_gap=args.loop_min_gap, sim_thresh=args.loop_sim_thresh,
+            min_inliers=args.loop_min_inliers,
+        )
+        print(
+            f"loop closure: {len(loop_edges)} accepted edge(s) "
+            + ", ".join(f"{e.i}->{e.j} ({e.n_inliers} inl)" for e in loop_edges)
+        )
+    elif args.windowed > 0:
         from featurematching_tpu.sfm.windowed import run_sequence_windowed
 
         traj = run_sequence_windowed(

@@ -20,5 +20,16 @@ from featurematching_tpu.sfm.pose_graph import (  # noqa: F401
     optimize_pose_graph,
 )
 from featurematching_tpu.sfm.windowed import (  # noqa: F401
+    OdometryResult,
     run_sequence_windowed,
+    run_sequence_windowed_full,
+)
+from featurematching_tpu.sfm.loop_closure import (  # noqa: F401
+    LoopDetector,
+    LoopEdge,
+    close_loops,
+    detect_loop_edges,
+    feature_descriptor,
+    image_descriptor,
+    run_sequence_loop_closed,
 )

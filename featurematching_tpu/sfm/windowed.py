@@ -55,6 +55,17 @@ def _world_from_cam(T_wc: np.ndarray, X_c: np.ndarray) -> np.ndarray:
     return (X_c - t[None]) @ R
 
 
+class OdometryResult(NamedTuple):
+    """Windowed-odometry output plus the map state loop closure needs:
+    `frame_tables[i]` maps quantized frame-i pixels -> track id, letting a
+    later loop pair resolve its monocular scale against the map."""
+
+    trajectory: Trajectory
+    tracks: List[Track]
+    frame_tables: List[Dict[Tuple[int, int], int]]
+    link_px: float
+
+
 def run_sequence_windowed(
     matcher_fn,
     frames: List[np.ndarray],
@@ -68,11 +79,32 @@ def run_sequence_windowed(
     max_window_points: int = 1024,
     seed: int = 0,
 ) -> Trajectory:
+    """Sequential odometry with map reuse + windowed BA (trajectory only)."""
+    return run_sequence_windowed_full(
+        matcher_fn, frames, K, key, window, pixel_thr, num_hypotheses,
+        link_px, ba_iters, max_window_points, seed,
+    ).trajectory
+
+
+def run_sequence_windowed_full(
+    matcher_fn,
+    frames: List[np.ndarray],
+    K: np.ndarray,
+    key: Optional[jax.Array] = None,
+    window: int = 5,
+    pixel_thr: float = 1.0,
+    num_hypotheses: int = 256,
+    link_px: float = 1.5,
+    ba_iters: int = 8,
+    max_window_points: int = 1024,
+    seed: int = 0,
+) -> OdometryResult:
     """Sequential odometry with map reuse + windowed BA.
 
     matcher_fn(img0, img1) -> (mkpts0 [M,2or3], mkpts1, mask) fixed-shape,
     pixel coords. Returns world->cam trajectory in the global (first-pair)
-    scale.
+    scale, plus the track map and per-frame pixel->track tables
+    (sfm/loop_closure.py resolves loop-edge scale against these).
     """
     if key is None:
         key = jax.random.PRNGKey(seed)
@@ -84,6 +116,10 @@ def run_sequence_windowed(
     tracks: List[Track] = []
     # frame-i pixel-cell -> track id, for linking the NEXT pair's mkpts0
     link_table: Dict[Tuple[int, int], int] = {}
+    # persistent per-frame tables (both match sides), for loop closure
+    frame_tables: List[Dict[Tuple[int, int], int]] = [
+        {} for _ in range(len(frames))
+    ]
 
     for i in range(len(frames) - 1):
         mk0, mk1, mask = matcher_fn(frames[i], frames[i + 1])
@@ -149,6 +185,8 @@ def run_sequence_windowed(
                 tid = len(tracks) - 1
             tracks[tid].obs.append((i + 1, p1_n[j]))
             new_table[_quantize(mk1[j], link_px)] = tid
+            frame_tables[i][_quantize(mk0[j], link_px)] = tid
+            frame_tables[i + 1][_quantize(mk1[j], link_px)] = tid
         link_table = new_table
 
         # ---- sliding-window BA
@@ -159,8 +197,13 @@ def run_sequence_windowed(
                 poses, tracks, lo, hi, ba_iters, max_window_points
             )
 
-    return Trajectory(
-        poses=np.stack(poses).astype(np.float32), valid=np.asarray(valid)
+    return OdometryResult(
+        trajectory=Trajectory(
+            poses=np.stack(poses).astype(np.float32), valid=np.asarray(valid)
+        ),
+        tracks=tracks,
+        frame_tables=frame_tables,
+        link_px=link_px,
     )
 
 

@@ -87,7 +87,7 @@ VALIDATE_WORKER = textwrap.dedent(
     assert {len(tl), len(vl)} <= {1, 2}, (len(tl), len(vl))
     runner = Runner(cfg, tl, vl, workdir=workdir + f"/rank{pid}")
     saves = []
-    runner.ckpt.save = lambda step, state: saves.append(int(step))
+    runner.ckpt.save = lambda step, state, **kw: saves.append(int(step))
     results = runner.validate(0)
     line = json.dumps(
         {k: round(float(v), 12) for k, v in sorted(results.items())},

@@ -306,6 +306,31 @@ class TestSfmApp:
         assert len(lines) == 3
         assert all(len(l.split()) == 8 for l in lines)
 
+    def test_sequence_cli_loop_closure(self, tmp_path, rng):
+        """--loop-closure end to end on an untrained matcher: retrieval may
+        propose pairs, verification may reject them all — the CLI must still
+        produce a full trajectory."""
+        import cv2
+
+        from featurematching_tpu.apps.sfm import main
+        from tests.test_data import checkerboard_texture
+
+        d = tmp_path / "seq"
+        d.mkdir()
+        base = checkerboard_texture(96, 128, rng)
+        for i in range(4):
+            cv2.imwrite(str(d / f"f{i:03d}.png"), np.roll(base, 4 * (i % 2), axis=1))
+        out = str(tmp_path / "traj.txt")
+        rc = main(
+            [str(d), "--intrinsics", "100", "100", "64", "48",
+             "--size", "128", "96", "--thr", "0.0001", "--out", out,
+             "--loop-closure", "--loop-min-gap", "2", "--loop-sim-thresh", "0.5",
+             "--loop-min-inliers", "8"]
+        )
+        assert rc == 0
+        lines = open(out).read().strip().splitlines()
+        assert len(lines) == 4
+
 
 class TestPoseHeadMetrics:
     def test_pose_errors_from_head(self, rng):

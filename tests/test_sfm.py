@@ -300,6 +300,33 @@ class TestWindowedSequence:
         assert err_win < err_chain, (err_win, err_chain)
         assert err_win < 0.05, err_win
 
+    def test_full_returns_map_state(self, rng):
+        """run_sequence_windowed_full must expose tracks + per-frame pixel
+        tables covering BOTH sides of each pair (loop closure links by them)."""
+        from featurematching_tpu.sfm.windowed import run_sequence_windowed_full
+
+        gt_poses, X = self._make_sequence(rng, [0.2, 0.3, 0.25])
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
+
+        def project(T):
+            Xc = X @ T[:3, :3].T + T[:3, 3]
+            uv = (Xc[:, :2] / Xc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            return uv, Xc[:, 2] > 0.5
+
+        def matcher_fn(i0, i1):
+            p0, v0 = project(gt_poses[i0])
+            p1, v1 = project(gt_poses[i1])
+            return p0.astype(np.float32), p1.astype(np.float32), v0 & v1
+
+        odo = run_sequence_windowed_full(
+            matcher_fn, list(range(len(gt_poses))), K.astype(np.float32), window=4
+        )
+        assert odo.trajectory.valid.all()
+        assert len(odo.tracks) > 100
+        assert len(odo.frame_tables) == len(gt_poses)
+        for t in odo.frame_tables:  # every frame participates in some pair
+            assert len(t) > 50
+
     def test_windowed_handles_tracking_failure(self, rng):
         """A pair with no matches must not crash: pose repeats, valid=False,
         and the map/link state resets cleanly."""
@@ -328,3 +355,115 @@ class TestWindowedSequence:
         assert traj.valid[[0, 1, 3, 4]].all()
         # pose repeated at the failed step (up to later in-window BA float noise)
         np.testing.assert_allclose(traj.poses[2], traj.poses[1], atol=1e-4)
+
+
+class TestLoopClosure:
+    """Retrieval + verification + pose-graph correction on a synthetic loop."""
+
+    def _make_loop_scene(self, rng, n_frames=12, radius=4.0):
+        """Camera circles a point cloud, ending back near the start."""
+        X = rng.standard_normal((400, 3)) * [2.0, 2.0, 2.0]
+        poses = []
+        for i in range(n_frames):
+            # close the circle: the last frame nearly repeats frame 0
+            ang = 2 * np.pi * i / n_frames
+            C = np.array([radius * np.sin(ang), 0.1 * np.sin(2 * ang),
+                          -radius * np.cos(ang)])
+            # look at the origin: camera z-axis toward -C
+            z = -C / np.linalg.norm(C)
+            up = np.array([0.0, 1.0, 0.0])
+            x = np.cross(up, z)
+            x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            R_wc = np.stack([x, y, z])  # rows = camera axes in world
+            t = -R_wc @ C
+            T = np.eye(4)
+            T[:3, :3] = R_wc
+            T[:3, 3] = t
+            poses.append(T)
+        return np.stack(poses), X
+
+    def _oracle(self, gt_poses, X, K, rng, noise_px=0.6):
+        def project(T):
+            Xc = X @ T[:3, :3].T + T[:3, 3]
+            uv = (Xc[:, :2] / Xc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            return uv, Xc[:, 2] > 0.5
+
+        def matcher_fn(i0, i1):
+            p0, v0 = project(gt_poses[i0])
+            p1, v1 = project(gt_poses[i1])
+            p0 = p0 + rng.standard_normal(p0.shape) * noise_px
+            p1 = p1 + rng.standard_normal(p1.shape) * noise_px
+            inb = lambda p: (np.abs(p[:, 0] - 320) < 320) & (np.abs(p[:, 1] - 240) < 240)
+            m = v0 & v1 & inb(p0) & inb(p1)
+            return p0.astype(np.float32), p1.astype(np.float32), m
+
+        def descriptor_fn(i):
+            # view-dependent occupancy descriptor: where the cloud projects
+            uv, v = project(gt_poses[i])
+            gx = np.clip((uv[:, 0] / 640 * 8).astype(int), 0, 7)
+            gy = np.clip((uv[:, 1] / 480 * 8).astype(int), 0, 7)
+            h = np.zeros((8, 8), np.float32)
+            np.add.at(h, (gy[v], gx[v]), 1.0)
+            h = h.reshape(-1)
+            h -= h.mean()
+            return h / max(np.linalg.norm(h), 1e-9)
+
+        return matcher_fn, descriptor_fn
+
+    def test_detector_gap_and_threshold(self):
+        from featurematching_tpu.sfm.loop_closure import LoopDetector
+
+        det = LoopDetector(min_gap=3, sim_thresh=0.9, topk=2)
+        d = np.zeros(4)
+        d[0] = 1.0
+        for i in range(4):
+            assert det.query(d, i) == []  # nothing far enough in the past yet
+            det.add(d if i == 0 else np.array([0, 1.0, 0, 0]))
+        # frame 4 vs stored frame 0 (the only one >= min_gap back): matches d
+        cands = det.query(d, 4)
+        assert cands == [(0, 1.0)]
+        # frame 4 searches frames [0, 1): the d-unlike frame 1 is excluded
+        assert det.query(np.array([0, 1.0, 0, 0]), 4) == []
+        # below threshold: orthogonal query finds nothing
+        assert det.query(np.array([0, 0, 0, 1.0]), 4) == []
+
+    def test_close_loops_no_edges_is_identity(self, rng):
+        from featurematching_tpu.sfm.loop_closure import close_loops
+        from featurematching_tpu.sfm.pipeline import Trajectory
+
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+        traj = Trajectory(poses=poses, valid=np.ones(3, bool))
+        out = close_loops(traj, [])
+        np.testing.assert_array_equal(out.poses, traj.poses)
+
+    def test_loop_closure_reduces_ate(self, rng):
+        """End to end: noisy odometry drifts around the circle; retrieval must
+        find the revisit, verification must accept it, and PGO must pull the
+        trajectory back — measurably lower ATE than odometry alone."""
+        from featurematching_tpu.sfm.loop_closure import run_sequence_loop_closed
+        from featurematching_tpu.sfm.pipeline import ate_rmse
+        from featurematching_tpu.sfm.windowed import run_sequence_windowed
+
+        gt_poses, X = self._make_loop_scene(rng)
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
+        frames = list(range(len(gt_poses)))
+
+        # identical noise sequences for the odometry-only and loop-closed runs
+        matcher_a, desc_fn = self._oracle(gt_poses, X, K, np.random.default_rng(3))
+        matcher_b, _ = self._oracle(gt_poses, X, K, np.random.default_rng(3))
+
+        traj_odo = run_sequence_windowed(matcher_a, frames, K.astype(np.float32),
+                                         window=4)
+        traj_lc, edges = run_sequence_loop_closed(
+            matcher_b, frames, K.astype(np.float32), descriptor_fn=desc_fn,
+            window=4, min_gap=4, sim_thresh=0.8, topk=2, min_inliers=30,
+        )
+        assert edges, "no loop edge detected on a closed-loop trajectory"
+        assert any(e.j - e.i >= 4 for e in edges)
+        for e in edges:
+            assert e.n_inliers >= 30
+
+        err_odo = ate_rmse(traj_odo.poses, gt_poses.astype(np.float32))
+        err_lc = ate_rmse(traj_lc.poses, gt_poses.astype(np.float32))
+        assert err_lc < err_odo, (err_lc, err_odo)
