@@ -81,7 +81,16 @@ def _block_params(p: Dict, window: int, num_heads: int) -> Dict:
 
 
 def _run_block(x, H, W, p, window, shift, num_heads, interpret):
-    """One Swin block in window space via the fused kernel. x: [B, H*W, C]."""
+    """One Swin block in window space via the fused kernel. x: [B, H*W, C].
+
+    Measured note (round 2): the image-layout kernel variant
+    (ops/pallas_swin_block.swin_block_image — window partition/reverse/roll
+    absorbed into block index maps + in-VMEM relayout) was built, parity-
+    tested and device-profiled at 8.17 ms vs 7.32 ms for this window-space
+    form, with the copy bucket nearly unchanged (5.29 vs 5.58 ms): XLA
+    already fuses the partition/roll copies into neighbors, and the in-VMEM
+    relayout + pad-formulation extra windows cost more than they save. The
+    window-space layout stays the production path."""
     B, L, C = x.shape
     xi = x.reshape(B, H, W, C)
     pad_b = (window - H % window) % window
@@ -129,6 +138,15 @@ def _patch_expand(x, H, W, p, p_norm_up, interpret):
     (profiled at ~3.6 ms of the forward at [8,19200,256] -> [8,76800,64]).
     The two back-to-back LNs run as one Pallas pass (two HBM round trips
     instead of ~6 reduce/apply passes).
+
+    Measured dead end (round 2): moving the depth-to-space INSIDE a Pallas
+    kernel (to kill the remaining ~1.26 ms of XLA 6-d transpose copies) is
+    unlowerable on this Mosaic version — every formulation hits
+    "infer-vector-layout: unsupported shape cast": the lane split
+    vector<...x256> -> <...x2x2x64>, jnp.stack's unit-dim insertion
+    <16x4x64> -> <16x4x1x64>, and even strided ref stores
+    o_ref[0,:,di,:,dj,:]. Permutation-matmul interleaves lower but their
+    surrounding stacks do not. Revisit when Mosaic's relayout support grows.
     """
     B, L, C = x.shape
     y = _dense(x, p["expand"])
@@ -151,7 +169,11 @@ def swin_backbone_fast(
     p = params["backbone"]
     B = x.shape[0]
 
-    # patch embed: conv via lax (VALID, stride = patch)
+    # patch embed: conv via lax (VALID, stride = patch). Measured dead end
+    # (round 2): a reshape+matmul patch extraction costs MORE (~1.7 ms vs
+    # ~1.0) — XLA lowers the [B,Wh,P,Ww,P,3] patch transpose with a
+    # pathological {4,3,2,1,5,0} layout (3-channel lane dim); the conv's
+    # internal im2col is the better layout engine here.
     k = p["patch_embed"]["kernel"].astype(dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), k, (s.patch_size, s.patch_size), "VALID",
@@ -160,7 +182,8 @@ def swin_backbone_fast(
     Wh, Ww = y.shape[1], y.shape[2]
     y = y.reshape(B, Wh * Ww, s.embed_dim)
     if s.patch_norm:
-        y = _ln(y, p["patch_norm"])
+        pn = p["patch_norm"]
+        y = layer_norm_chain(y, pn["scale"], pn["bias"], interpret=interpret)
 
     n_stages = len(s.depths)
     for i in range(n_stages):
@@ -272,8 +295,22 @@ def make_fast_matcher_fn(cfg: ModelConfig, interpret: bool = False):
         )
         w0 = w0.reshape(B, K, ww, Cf)
         w1 = w1.reshape(B, K, ww, Cf)
-        w0_mixed = _dense(jnp.swapaxes(w0, -1, -2), params["mix_feat_0"])[..., 0]
-        w1_mixed = _dense(jnp.swapaxes(w1, -1, -2), params["mix_feat_1"])[..., 0]
+
+        def _mix(w, p):
+            # 49->1 window mixing as a direct contraction over the window
+            # axis: the swapaxes+Dense form forced a [B,K,C,ww] transpose
+            # whose layout pressure rippled back into an f32 copy of the
+            # fine-attention output (traced ~0.5 ms/iter). Same math.
+            y = jnp.einsum(
+                "bkrc,r->bkc", w, p["kernel"][:, 0].astype(w.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(w.dtype)
+            if "bias" in p:
+                y = y + p["bias"][0].astype(w.dtype)
+            return y
+
+        w0_mixed = _mix(w0, params["mix_feat_0"])
+        w1_mixed = _mix(w1, params["mix_feat_1"])
         fine = fine_soft_argmax(
             w0_mixed.astype(jnp.float32), w1_mixed.astype(jnp.float32),
             w0.astype(jnp.float32), w1.astype(jnp.float32),

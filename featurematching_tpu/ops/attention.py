@@ -48,14 +48,19 @@ def linear_attention(
 
     v_length = v.shape[1]
     v = v / v_length  # prevent low-precision overflow (reference :41)
-    # KV: [B, H, D, Dv]
-    KV = jnp.einsum("bshd,bshv->bhdv", K, v, preferred_element_type=jnp.float32)
+    # KV: [B, H, D, Dv]. Operands stay in the input dtype with f32 MXU
+    # accumulation (see linear_attention_packed note): upcasting Q/KV to f32
+    # doubles HBM traffic and quadruples MXU passes; with f32 inputs (CPU
+    # tests, parity oracles) nothing changes.
+    KV = jnp.einsum(
+        "bshd,bshv->bhdv", K, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
     K_sum = jnp.sum(K.astype(jnp.float32), axis=1)  # [B, H, D]
     Z = 1.0 / (
         jnp.einsum("blhd,bhd->blh", Q.astype(jnp.float32), K_sum) + eps
     )  # [B, L, H]
     out = jnp.einsum(
-        "blhd,bhdv->blhv", Q.astype(jnp.float32), KV, preferred_element_type=jnp.float32
+        "blhd,bhdv->blhv", Q, KV, preferred_element_type=jnp.float32
     )
     out = out * Z[..., None] * v_length
     return out.astype(q.dtype)
@@ -85,34 +90,43 @@ def linear_attention_packed(
     B, L, H, D = q.shape
     S = k.shape[1]
     C = H * D
-    Q = elu_feature_map(q).reshape(B, L, C).astype(jnp.float32)
+    # operands stay in the input dtype (bf16 in production) with f32 MXU
+    # accumulation: upcasting Q/K/V to f32 here doubled HBM traffic and
+    # quadrupled MXU passes — device-profiled at ~1.5 ms/iter of the flagship
+    # forward (a [8192,49,64] f32 layout copy alone was 0.49 ms). With f32
+    # inputs (CPU tests, parity oracles) the math is unchanged.
+    Q = elu_feature_map(q).reshape(B, L, C)
     K = elu_feature_map(k)
     if q_mask is not None:
         Q = Q * q_mask[:, :, None].astype(Q.dtype)
     if kv_mask is not None:
         K = K * kv_mask[:, :, None, None].astype(K.dtype)
         v = v * kv_mask[:, :, None, None].astype(v.dtype)
-    K = K.reshape(B, S, C).astype(jnp.float32)
-    V = (v / S).reshape(B, S, C).astype(jnp.float32)
+    K = K.reshape(B, S, C)
+    V = (v / S).reshape(B, S, C)
 
     # [B, C, C] cross-head products; keep only the 8 diagonal [D, D] blocks
     KV_full = jnp.einsum("bsc,bsd->bcd", K, V, preferred_element_type=jnp.float32)
     head_of = jnp.arange(C) // D
     blockmask = (head_of[:, None] == head_of[None, :]).astype(KV_full.dtype)
-    KV_bd = KV_full * blockmask[None]
+    KV_bd = (KV_full * blockmask[None]).astype(q.dtype)
 
-    K_sum = jnp.sum(K, axis=1)  # [B, C]
+    K_sum = jnp.sum(K.astype(jnp.float32), axis=1)  # [B, C]
     # Z[l, h] = sum_d Q[l, h*D+d] * K_sum[h*D+d]
     onehot = jax.nn.one_hot(head_of, H, dtype=jnp.float32)  # [C, H]
     Z = 1.0 / (
-        jnp.einsum("blc,bc,ch->blh", Q, K_sum, onehot) + eps
+        jnp.einsum(
+            "blc,bc,ch->blh", Q.astype(jnp.float32), K_sum, onehot
+        ) + eps
     )  # [B, L, H]
 
+    # cast the dot output back to the input dtype IN THE EPILOGUE (f32 MXU
+    # accumulation is internal): asking XLA for an f32 result materialized a
+    # 100 MB f32 [8192,49,64] store + an f32 layout copy (~1 ms/iter traced)
     out = jnp.einsum(
         "blc,bcd->bld", Q, KV_bd, preferred_element_type=jnp.float32
-    )  # [B, L, C]
-    out = out.reshape(B, L, H, D) * Z[..., None] * S
-    return out.astype(q.dtype)
+    ).astype(q.dtype)  # [B, L, C]
+    return out.reshape(B, L, H, D) * (Z * S).astype(q.dtype)[..., None]
 
 
 # sequences at or below this length route to the packed variant

@@ -101,18 +101,20 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _block_kernel(
-    x_ref, mask_ref,
+def _block_math(
+    x, mask,
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
     wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
-    out_ref,
-    *, num_heads, has_mask,
+    *, num_heads,
 ):
-    CH, N, C = x_ref.shape
+    """Kernel-body math on VALUES: x [CH, N, C], mask [CH, N, N] f32 or
+    None; weight refs as in swin_block_fused. Returns [CH, N, C]. Shared by
+    the window-space kernel and the image-layout kernel below."""
+    CH, N, C = x.shape
     h = num_heads
     d = C // h
-    x = x_ref[...]
+    has_mask = mask is not None
     dtype = x.dtype
 
     def ln(v, s_ref, b_ref):
@@ -159,8 +161,7 @@ def _block_kernel(
     ) * (d**-0.5)  # [CH, N, h*N]
     s = s + bias_ref[...]  # packed [N, h*N]
     if has_mask:
-        m = mask_ref[...]
-        s = s + (m if h == 1 else jnp.concatenate([m] * h, axis=-1))
+        s = s + (mask if h == 1 else jnp.concatenate([mask] * h, axis=-1))
     # Per-head softmax over each N-wide lane block, restructured to avoid
     # 4x(max,exp,sum,div) lane-reduce chains: subtracting any per-row
     # constant is exact, so use ONE row max over all h*N lanes and ONE exp;
@@ -219,7 +220,23 @@ def _block_kernel(
         )
         + bm2_ref[...].astype(jnp.float32)
     ).astype(dtype)
-    out_ref[...] = x + y.reshape(CH, N, C)
+    return x + y.reshape(CH, N, C)
+
+
+def _block_kernel(
+    x_ref, mask_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+    wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
+    out_ref,
+    *, num_heads, has_mask,
+):
+    out_ref[...] = _block_math(
+        x_ref[...], mask_ref[...] if has_mask else None,
+        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, wm1_ref, bm1_ref,
+        wm2_ref, bm2_ref, num_heads=num_heads,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "chunk", "interpret"))
@@ -308,3 +325,218 @@ def swin_block_fused(
         params["w_mlp1"].astype(bf), p32["b_mlp1"],
         params["w_mlp2"].astype(bf), p32["b_mlp2"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-layout fused block: window partition / reverse / roll absorbed.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def pad_region_masks(Hp2: int, Wp2: int, w: int, shift: int) -> np.ndarray:
+    """Additive SW-MSA masks for the PAD formulation, [3, nWw, N, N] f32.
+
+    Equivalence to roll+_shift_attn_mask (backbone_swin.py:51): rolling by
+    -shift then partitioning at multiples of w groups tokens at original-
+    coordinate boundaries == shift (mod w); padding the top/left by
+    (w - shift) instead places the SAME boundaries at padded multiples of w
+    (offset by exactly one window), with the wrapped tokens replaced by pad
+    zeros. Every real-real attention pair allowed by the roll-land mask has
+    both tokens in the same pad-land window at the SAME within-window
+    positions (so rel_bias agrees), and every pair the roll-land mask
+    forbids (-100) is either forbidden here too or replaced by a masked pad
+    token — softmax contributions exp(-100+s) underflow to 0 either way, so
+    real-token outputs are identical.
+
+    Args use PAD-land dims: Hp2/Wp2 = (w-shift) + roll-land padded H/W +
+    shift. Region bands per axis on original coords y: [0, shift) -> 2,
+    [Hp-w+shift, Hp) -> 1, else 0 (matching _shift_attn_mask's slices);
+    pad coords get band 3 (isolated). Returns masks for window-row 0,
+    middle rows, and the last row (columns enumerated per window).
+    """
+    N = w * w
+
+    def bands(P2: int) -> np.ndarray:
+        Hp = P2 - w  # roll-land content size (multiple of w)
+        top = w - shift
+        b = np.full(P2, 3, np.int32)  # pad
+        y = np.arange(P2) - top
+        content = (y >= 0) & (y < Hp)
+        b = np.where(content & (y < shift), 2, b)
+        b = np.where(content & (y >= shift) & (y < Hp - w + shift), 0, b)
+        b = np.where(content & (y >= Hp - w + shift), 1, b)
+        return b
+
+    rb = bands(Hp2)  # [Hp2]
+    cb = bands(Wp2)  # [Wp2]
+    region = rb[:, None] * 4 + cb[None, :]  # [Hp2, Wp2]
+    nwh, nww = Hp2 // w, Wp2 // w
+    win = (
+        region.reshape(nwh, w, nww, w).transpose(0, 2, 1, 3).reshape(nwh, nww, N)
+    )
+    diff = win[:, :, None, :] - win[:, :, :, None]
+    full = np.where(diff != 0, -100.0, 0.0).astype(np.float32)  # [nwh, nww, N, N]
+    mid = full[1] if nwh > 2 else full[0]  # nwh >= 2 always (top pad row)
+    return np.stack([full[0], mid, full[-1]])
+
+
+def _image_kernel(
+    x_ref, mask_ref,
+    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+    wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
+    out_ref,
+    *, num_heads, has_mask, window, cw,
+):
+    w = window
+    blk = x_ref[0]  # [w, cw*w, C]
+    C = blk.shape[-1]
+    # in-VMEM window partition (the HBM copy this kernel exists to remove)
+    xw = blk.reshape(w, cw, w, C).transpose(1, 0, 2, 3).reshape(cw, w * w, C)
+    out = _block_math(
+        xw, mask_ref[0] if has_mask else None,
+        ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
+        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, wm1_ref, bm1_ref,
+        wm2_ref, bm2_ref, num_heads=num_heads,
+    )
+    out_ref[0] = (
+        out.reshape(cw, w, w, C).transpose(1, 0, 2, 3).reshape(w, cw * w, C)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "window", "shift", "chunk_w", "interpret")
+)
+def swin_block_fused_image(
+    xp: jnp.ndarray,
+    params: dict,
+    num_heads: int,
+    window: int,
+    shift: int,
+    chunk_w: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Swin block over PADDED image-layout activations [B, Hp2, Wp2, C].
+
+    The caller pads: bottom/right to window multiples when shift == 0, or
+    (w-shift) top/left + content-to-multiple + shift bottom/right when
+    shift > 0 (see pad_region_masks), and slices the content back out.
+    Window partition/reverse and the shifted roll never touch HBM: each grid
+    step reads one [w, cw*w, C] row-band block and relayouts in VMEM.
+    """
+    B, Hp2, Wp2, C = xp.shape
+    w = window
+    N = w * w
+    nwh, nww = Hp2 // w, Wp2 // w
+    has_mask = shift > 0
+
+    if chunk_w is None:
+        budget = max(1, int(9e6) // (num_heads * N * (4 * C + 8 * N)))
+        chunk_w = max(d for d in range(1, nww + 1) if nww % d == 0 and d <= budget)
+
+    if has_mask:
+        masks = jnp.asarray(pad_region_masks(Hp2, Wp2, w, shift))  # [3,nww,N,N]
+    else:
+        masks = jnp.zeros((3, nww, 1, 1), jnp.float32)  # placeholder, unread
+
+    HID = params["w_mlp1"].shape[1]
+    f32 = jnp.float32
+    p32 = {k: v.astype(f32) for k, v in params.items()}
+    bf = xp.dtype
+    rel_packed = jnp.transpose(p32["rel_bias"], (1, 0, 2)).reshape(
+        N, num_heads * N
+    )
+    d = C // num_heads
+    hm = np.zeros((num_heads * N, C), np.float32)
+    for hi in range(num_heads):
+        hm[hi * N : (hi + 1) * N, hi * d : (hi + 1) * d] = 1.0
+    hmask = jnp.asarray(hm, bf)
+
+    kernel = functools.partial(
+        _image_kernel, num_heads=num_heads, has_mask=has_mask,
+        window=w, cw=chunk_w,
+    )
+    last = nwh - 1
+
+    def mask_idx(b, r, c):
+        return (jnp.where(r == 0, 0, jnp.where(r == last, 2, 1)), c, 0, 0)
+
+    mask_block = (
+        pl.BlockSpec((1, chunk_w, N, N), mask_idx)
+        if has_mask
+        else pl.BlockSpec((1, chunk_w, 1, 1), mask_idx)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nwh, nww // chunk_w),
+        in_specs=[
+            pl.BlockSpec((1, w, chunk_w * w, C), lambda b, r, c: (b, r, c, 0)),
+            mask_block,
+            pl.BlockSpec((C,), lambda b, r, c: (0,)),
+            pl.BlockSpec((C,), lambda b, r, c: (0,)),
+            pl.BlockSpec((C, 3 * C), lambda b, r, c: (0, 0)),
+            pl.BlockSpec((3 * C,), lambda b, r, c: (0,)),
+            pl.BlockSpec((N, num_heads * N), lambda b, r, c: (0, 0)),
+            pl.BlockSpec((num_heads * N, C), lambda b, r, c: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, r, c: (0, 0)),
+            pl.BlockSpec((C,), lambda b, r, c: (0,)),
+            pl.BlockSpec((C,), lambda b, r, c: (0,)),
+            pl.BlockSpec((C,), lambda b, r, c: (0,)),
+            pl.BlockSpec((C, HID), lambda b, r, c: (0, 0)),
+            pl.BlockSpec((HID,), lambda b, r, c: (0,)),
+            pl.BlockSpec((HID, C), lambda b, r, c: (0, 0)),
+            pl.BlockSpec((C,), lambda b, r, c: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, w, chunk_w * w, C), lambda b, r, c: (b, r, c, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp2, Wp2, C), xp.dtype),
+        interpret=interpret,
+    )(
+        xp, masks,
+        p32["ln1_scale"], p32["ln1_bias"],
+        params["w_qkv"].astype(bf), p32["b_qkv"],
+        rel_packed, hmask,
+        params["w_proj"].astype(bf), p32["b_proj"],
+        p32["ln2_scale"], p32["ln2_bias"],
+        params["w_mlp1"].astype(bf), p32["b_mlp1"],
+        params["w_mlp2"].astype(bf), p32["b_mlp2"],
+    )
+
+
+def swin_block_image(
+    x: jnp.ndarray,
+    H: int,
+    W: int,
+    params: dict,
+    num_heads: int,
+    window: int,
+    shift: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One Swin block on [B, H*W, C] sequence-layout activations via the
+    image-layout kernel: pad -> fused block -> slice. Replaces the
+    pad/roll/window_partition/kernel/window_reverse/roll/slice chain
+    (4-6 full-feature-map HBM copies per block) with pad + slice."""
+    B, L, C = x.shape
+    w = window
+    xi = x.reshape(B, H, W, C)
+    pad_b = (w - H % w) % w
+    pad_r = (w - W % w) % w
+    if shift > 0:
+        top = w - shift
+        xi = jnp.pad(
+            xi, ((0, 0), (top, pad_b + shift), (top, pad_r + shift), (0, 0))
+        )
+        oi = swin_block_fused_image(
+            xi, params, num_heads, w, shift, interpret=interpret
+        )
+        oi = oi[:, top : top + H, top : top + W]
+    else:
+        if pad_b or pad_r:
+            xi = jnp.pad(xi, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        oi = swin_block_fused_image(
+            xi, params, num_heads, w, 0, interpret=interpret
+        )
+        oi = oi[:, :H, :W]
+    return oi.reshape(B, H * W, C)

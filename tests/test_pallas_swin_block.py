@@ -109,3 +109,72 @@ class TestFusedSwinBlock:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref_out), rtol=2e-3, atol=2e-3
         )
+
+
+class TestImageLayoutBlock:
+    """swin_block_image (pad formulation, partition/roll absorbed) must equal
+    the roll-path reference exactly for every geometry class: aligned,
+    pad-to-multiple, shifted, unshifted, single-head."""
+
+    def _xla_ref(self, x, H, W, params, num_heads, w, shift):
+        from featurematching_tpu.models.backbone_swin import (
+            _shift_attn_mask,
+            window_partition,
+            window_reverse,
+        )
+
+        B, L, C = x.shape
+        xi = x.reshape(B, H, W, C)
+        pad_b = (w - H % w) % w
+        pad_r = (w - W % w) % w
+        if pad_b or pad_r:
+            xi = jnp.pad(xi, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
+        mask = None
+        if shift > 0:
+            xi = jnp.roll(xi, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(Hp, Wp, w, shift))
+        ow = swin_block_reference(window_partition(xi, w), mask, params, num_heads)
+        oi = window_reverse(ow, w, Hp, Wp)
+        if shift > 0:
+            oi = jnp.roll(oi, shift=(shift, shift), axis=(1, 2))
+        return oi[:, :H, :W].reshape(B, H * W, C)
+
+    @pytest.mark.parametrize(
+        "H,W,C,h,w,shift",
+        [
+            (16, 24, 32, 4, 4, 2),
+            (16, 24, 32, 4, 4, 0),
+            (14, 18, 32, 2, 4, 2),  # pad-to-multiple + shift
+            (12, 12, 16, 1, 4, 2),  # single head
+            (30, 40, 64, 4, 8, 4),  # flagship stage-2 geometry
+        ],
+    )
+    def test_matches_roll_path(self, rng, H, W, C, h, w, shift):
+        from featurematching_tpu.ops.pallas_swin_block import swin_block_image
+
+        N = w * w
+        params = make_params(rng, C, h, N, 2 * C)
+        x = jnp.asarray(rng.standard_normal((2, H * W, C)).astype(np.float32))
+        ref = self._xla_ref(x, H, W, params, h, w, shift)
+        got = swin_block_image(x, H, W, params, h, w, shift, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_pad_region_masks_isolate_pads(self):
+        from featurematching_tpu.ops.pallas_swin_block import pad_region_masks
+
+        w, shift = 8, 4
+        m = pad_region_masks(24 + w, 32 + w, w, shift)  # content 24x32
+        assert m.shape == (3, 5, 64, 64)
+        # window-row 0, col 0: the top-left pad block must be masked from the
+        # real region: position (0,0) is pad, position (w-shift, w-shift) real
+        pad_tok = 0
+        real_tok = (w - shift) * w + (w - shift)
+        assert m[0, 0, pad_tok, real_tok] == -100.0
+        assert m[0, 0, real_tok, pad_tok] == -100.0
+        # interior windows (middle rows, interior cols) are mask-free;
+        # the first/last col windows carry the column-band masks
+        assert np.all(m[1, 1:-1] == 0.0)
+        assert np.any(m[1, 0] == -100.0) and np.any(m[1, -1] == -100.0)
