@@ -76,6 +76,30 @@ def sine_positional_encoding(shape: Tuple[int, int], d_model: int) -> np.ndarray
     return pe.transpose(1, 2, 0)  # HWC
 
 
+class _WindowMix(nn.Module):
+    """Learned ww->1 window mixing as a direct contraction over the window
+    axis. Drop-in for the nn.Dense(1)-on-swapaxes form (identical param tree:
+    kernel [ww, 1] lecun_normal, bias [1] zeros; identical math) — the
+    swapaxes forced a [B, G, C, ww] layout transpose whose pressure rippled
+    into full-feature f32 copies on TPU (see fast_inference._mix note)."""
+
+    window_tokens: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, w: jnp.ndarray) -> jnp.ndarray:  # [B, G, ww, C]
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.window_tokens, 1), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (1,), jnp.float32)
+        y = jnp.einsum(
+            "bgrc,r->bgc", w, k[:, 0].astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return y + b[0].astype(self.dtype)
+
+
 class Matcher(nn.Module):
     """Config-driven coarse-to-fine matcher."""
 
@@ -258,11 +282,9 @@ class Matcher(nn.Module):
         w1 = w1.reshape(B, G, ww, Cf)
 
         # 7. learned window mixing (49->1) + soft-argmax
-        mix0 = nn.Dense(1, dtype=dtype, name="mix_feat_0")
-        mix1 = nn.Dense(1, dtype=dtype, name="mix_feat_1")
         # mix over the window dim: [B, G, ww, C] -> [B, G, C]
-        w0_mixed = mix0(jnp.swapaxes(w0, -1, -2))[..., 0]
-        w1_mixed = mix1(jnp.swapaxes(w1, -1, -2))[..., 0]
+        w0_mixed = _WindowMix(ww, dtype, name="mix_feat_0")(w0)
+        w1_mixed = _WindowMix(ww, dtype, name="mix_feat_1")(w1)
         fine = fine_soft_argmax(
             w0_mixed.astype(jnp.float32),
             w1_mixed.astype(jnp.float32),
