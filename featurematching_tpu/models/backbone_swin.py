@@ -385,6 +385,15 @@ class PatchExpand(nn.Module):
         x = x.reshape(B, H, W, 2, 2, Ce // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, Ce // 4)
         x = x.reshape(B, 4 * H * W, Ce // 4)
+        # keep the depth-to-space reshuffle in bf16 in BOTH directions:
+        # without the barrier XLA moves the LN's f32 convert across the
+        # reshape/transpose pair (forward) and sinks the f32->bf16 grad
+        # convert below the inverse transposes (backward), doubling the
+        # bytes of the 6-d layout copies (train-step trace: ~2.5 ms/step of
+        # f32 [8,120,2,160,2,64] copies). Same fix as the inference engine
+        # (fast_inference._patch_expand); optimization_barrier transposes to
+        # itself, so the backward copies stay bf16 too.
+        x = jax.lax.optimization_barrier(x)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 
 

@@ -38,6 +38,10 @@ from featurematching_tpu.models.backbone_swin import (
 from featurematching_tpu.models.matcher import MatcherOutput
 from featurematching_tpu.models.transformer import LocalFeatureTransformer
 from featurematching_tpu.ops.pallas_dual_softmax import dual_softmax_match_stats
+from featurematching_tpu.ops.pallas_fine_stage import (
+    fine_stage_fused,
+    fine_stage_supported,
+)
 from featurematching_tpu.ops.pallas_ln import layer_norm_chain
 from featurematching_tpu.ops.pallas_swin_block import swin_block_fused
 
@@ -288,29 +292,50 @@ def make_fast_matcher_fn(cfg: ModelConfig, interpret: bool = False):
             )
         K = win0.shape[1]
         ww = Wf_win * Wf_win
-        w0, w1 = fine_tf.apply(
-            {"params": params["fine_transformer"]},
-            win0.reshape(B * K, ww, Cf),
-            win1.reshape(B * K, ww, Cf),
+        use_fused_fine = (
+            not interpret
+            and jax.default_backend() != "cpu"
+            and cfg.fine.attention == "linear"
+            and fine_stage_supported(cfg.fine.layer_names, Cf, cfg.fine.nhead)
         )
-        w0 = w0.reshape(B, K, ww, Cf)
-        w1 = w1.reshape(B, K, ww, Cf)
+        if use_fused_fine:
+            # whole fine transformer + 49->1 mixing in ONE Pallas kernel —
+            # the XLA chain here is ~20 small [B*K, ww, C] HBM round trips
+            w0, w1, w0_mixed, w1_mixed = fine_stage_fused(
+                win0.reshape(B * K, ww, Cf),
+                win1.reshape(B * K, ww, Cf),
+                params["fine_transformer"],
+                params["mix_feat_0"], params["mix_feat_1"],
+                cfg.fine.layer_names, cfg.fine.nhead,
+            )
+            w0 = w0.reshape(B, K, ww, Cf)
+            w1 = w1.reshape(B, K, ww, Cf)
+            w0_mixed = w0_mixed.reshape(B, K, Cf)
+            w1_mixed = w1_mixed.reshape(B, K, Cf)
+        else:
+            w0, w1 = fine_tf.apply(
+                {"params": params["fine_transformer"]},
+                win0.reshape(B * K, ww, Cf),
+                win1.reshape(B * K, ww, Cf),
+            )
+            w0 = w0.reshape(B, K, ww, Cf)
+            w1 = w1.reshape(B, K, ww, Cf)
 
-        def _mix(w, p):
-            # 49->1 window mixing as a direct contraction over the window
-            # axis: the swapaxes+Dense form forced a [B,K,C,ww] transpose
-            # whose layout pressure rippled back into an f32 copy of the
-            # fine-attention output (traced ~0.5 ms/iter). Same math.
-            y = jnp.einsum(
-                "bkrc,r->bkc", w, p["kernel"][:, 0].astype(w.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(w.dtype)
-            if "bias" in p:
-                y = y + p["bias"][0].astype(w.dtype)
-            return y
+            def _mix(w, p):
+                # 49->1 window mixing as a direct contraction over the window
+                # axis: the swapaxes+Dense form forced a [B,K,C,ww] transpose
+                # whose layout pressure rippled back into an f32 copy of the
+                # fine-attention output (traced ~0.5 ms/iter). Same math.
+                y = jnp.einsum(
+                    "bkrc,r->bkc", w, p["kernel"][:, 0].astype(w.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(w.dtype)
+                if "bias" in p:
+                    y = y + p["bias"][0].astype(w.dtype)
+                return y
 
-        w0_mixed = _mix(w0, params["mix_feat_0"])
-        w1_mixed = _mix(w1, params["mix_feat_1"])
+            w0_mixed = _mix(w0, params["mix_feat_0"])
+            w1_mixed = _mix(w1, params["mix_feat_1"])
         fine = fine_soft_argmax(
             w0_mixed.astype(jnp.float32), w1_mixed.astype(jnp.float32),
             w0.astype(jnp.float32), w1.astype(jnp.float32),

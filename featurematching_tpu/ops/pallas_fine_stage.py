@@ -1,0 +1,304 @@
+"""Fully-fused fine stage — Pallas TPU kernel (inference).
+
+Runs the ENTIRE fine refinement transformer in one kernel over chunks of
+match windows resident in VMEM:
+
+    for name, W_l in zip(layer_names, layers):   # e.g. ('self', 'cross')
+        if name == 'self':
+            w0 = enc(w0, w0, W_l); w1 = enc(w1, w1, W_l)
+        else:  # cross — reference order: w1 attends to the UPDATED w0
+            w0 = enc(w0, w1, W_l); w1 = enc(w1, w0, W_l)
+    m0 = mix(w0); m1 = mix(w1)                   # learned ww->1 mixing
+
+where `enc` is the LoFTR encoder layer (QKV projections without bias,
+head-packed linear attention, merge + post-LN, concat-MLP FFN + post-LN,
+residual) — the math of models/transformer.EncoderLayer with
+ops/attention.linear_attention_packed, reference
+/root/reference/network/module/transformer.py:6-57 and attentions.py:19-46.
+
+The XLA op-chain for this stage is ~20 small [B*K, ww, C] ops, each an HBM
+round trip; at the flagship operating point (4096 windows x 49 tokens x 64
+channels) the device profiler attributes ~2.5 ms/iter to it. One kernel
+removes all intermediate traffic.
+
+Mosaic constraints honored (docs/ROADMAP.md "measured dead ends"): only
+batched dots, leading-dim splits/merges, 64-aligned lane slices, lane
+reductions, and leading/scalar broadcasts — no lane-dim shape casts, no
+unit-dim insertion between sublane and lane axes, no mid-axis reductions.
+Per-head (h=8, d=8) contractions are packed into full-channel [C, C] dots
+with a block-diagonal mask, exactly as linear_attention_packed does at the
+XLA level. The per-head normalizer is itself a pair of batched dots:
+
+    KOnes = K^T @ 1      — every column c holds sum_n K[n, :]  ([C, C])
+    Z     = Q @ (KOnes ⊙ blockdiag)   — Z[l, c] = sum_{d in head(c)}
+                                           Q[l, d] * Ksum[d]
+
+which lands each head's normalizer replicated across its own lane block with
+no 8-wide lane slices and no [:, None, :] broadcasts.
+
+Forward-only (no VJP): training uses the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_EPS = 1e-6  # linear-attention normalizer epsilon (ops/attention.py)
+
+
+def _elu1(x):
+    """elu(x) + 1 on f32 values (Mosaic-safe: exp + where only)."""
+    return jnp.where(x > 0, x + 1.0, jnp.exp(x))
+
+
+def _ln2d(v, s, b, dtype):
+    """LayerNorm over lanes of [M, C] with f32 statistics (flax semantics)."""
+    v32 = v.astype(jnp.float32)
+    mu = jnp.mean(v32, axis=-1, keepdims=True)
+    var = jnp.mean((v32 - mu) ** 2, axis=-1, keepdims=True)
+    return ((v32 - mu) * jax.lax.rsqrt(var + 1e-6) * s + b).astype(dtype)
+
+
+def _dot2(a, w):
+    return jax.lax.dot_general(
+        a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bdot(a, b, contract):
+    """Batched dot over leading dim: a [G, ...], b [G, ...]."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=((contract[0], contract[1]), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _enc_math(x, src, wl, blockmask, kvmask, n_real):
+    """One LoFTR encoder layer on VALUES. x/src: [CH, Np, C] bf16/f32.
+
+    Np is the sublane-padded token count (Mosaic only lowers leading-dim
+    reshape merges when the collapsed dim is a multiple of the 8-sublane
+    tile; ww=49 is padded to 56 outside). kvmask [Np, C] zeroes the padded
+    KEY/VALUE tokens so attention sums see exactly the n_real live tokens;
+    padded QUERY rows produce finite junk that the caller slices off.
+    """
+    CH, Np, C = x.shape
+    dtype = x.dtype
+    wq, wkv, wmerge, n1s, n1b, wmlp1, wmlp2, n2s, n2b = wl
+
+    x2 = x.reshape(CH * Np, C)
+    s2 = src.reshape(CH * Np, C)
+    qf = _dot2(x2, wq)  # [CH*Np, C] f32
+    kv3 = _dot2(s2, wkv).reshape(CH, Np, 2 * C)  # f32
+    Qb = _elu1(qf).astype(dtype).reshape(CH, Np, C)
+    Kb = (_elu1(kv3[:, :, :C]) * kvmask).astype(dtype)
+    # /n_real: low-precision overflow guard (attention.py:50)
+    Vb = (kv3[:, :, C:] * (kvmask * (1.0 / n_real))).astype(dtype)
+
+    # per-window cross-head products, block-diagonal kept: KV[g] = K^T V
+    KV = _bdot(Kb, Vb, (((1,), (1,))))  # [CH, C, C] f32
+    KV_bd = (KV * blockmask[None]).astype(dtype)
+
+    # normalizer: KOnes[g, d, c] = Ksum[g, d] for all c; then
+    # Z[g, l, c] = sum_{d in head(c)} Q[g, l, d] * Ksum[g, d]
+    ones_b = jnp.ones((CH, Np, C), dtype)
+    KOnes = _bdot(Kb, ones_b, (((1,), (1,))))  # [CH, C, C] f32
+    KOnes_bd = (KOnes * blockmask[None]).astype(dtype)
+    Z = _bdot(Qb, KOnes_bd, (((2,), (1,))))  # [CH, Np, C] f32
+
+    o = _bdot(Qb, KV_bd, (((2,), (1,))))  # [CH, Np, C] f32
+    o = o * (float(n_real) / (Z + _EPS))
+    msg = _dot2(o.astype(dtype).reshape(CH * Np, C), wmerge).astype(dtype)
+    msg = _ln2d(msg, n1s, n1b, dtype)
+
+    # FFN on [x || msg]: split-weight form avoids the lane concat
+    y = _dot2(x2, wmlp1[:C]) + _dot2(msg, wmlp1[C:])  # [CH*Np, 2C] f32
+    y = jnp.maximum(y, 0.0).astype(dtype)
+    y = _dot2(y, wmlp2).astype(dtype)
+    y = _ln2d(y, n2s, n2b, dtype)
+    return (x2 + y).reshape(CH, Np, C)
+
+
+def _mix_math(w, mk_row, mb):
+    """Learned ww->1 window mixing as ONE batched dot: [CH, Np, C] -> [CH, C].
+
+    mk_row: [1, Np] mixing weights, zero at padded tokens (bf16 operands,
+    f32 accumulation — the _WindowMix einsum semantics). mb: [1] f32 bias.
+    """
+    CH, Np, C = w.shape
+    mk_b = jnp.broadcast_to(mk_row[None], (CH, 1, Np)).astype(w.dtype)
+    acc = _bdot(mk_b, w, (((2,), (1,))))  # [CH, 1, C] f32
+    # mb arrives pre-broadcast as [1, C] (a 1x1 -> CHxC vector.broadcast
+    # does not lower on this Mosaic); only a sublane broadcast remains
+    return acc.reshape(CH, C).astype(w.dtype) + mb.astype(w.dtype)
+
+
+def _fine_kernel(*refs, layer_names, n_real):
+    """refs: x0, x1, blockmask, kvmask, mk0, mb0, mk1, mb1, then 9 weight
+    refs per layer, then outputs w0, w1, m0, m1."""
+    nl = len(layer_names)
+    x0_ref, x1_ref = refs[0], refs[1]
+    blockmask = refs[2][...]
+    kvmask = refs[3][...]
+    mk0, mb0, mk1, mb1 = (r[...] for r in refs[4:8])
+    wrefs = refs[8 : 8 + 9 * nl]
+    o_w0, o_w1, o_m0, o_m1 = refs[8 + 9 * nl :]
+
+    a0 = x0_ref[...]
+    a1 = x1_ref[...]
+    for i, name in enumerate(layer_names):
+        wl = tuple(r[...] for r in wrefs[9 * i : 9 * (i + 1)])
+        if name == "self":
+            a0 = _enc_math(a0, a0, wl, blockmask, kvmask, n_real)
+            a1 = _enc_math(a1, a1, wl, blockmask, kvmask, n_real)
+        else:  # cross: a1 sees the UPDATED a0 (transformer.py order)
+            a0 = _enc_math(a0, a1, wl, blockmask, kvmask, n_real)
+            a1 = _enc_math(a1, a0, wl, blockmask, kvmask, n_real)
+    o_w0[...] = a0
+    o_w1[...] = a1
+    o_m0[...] = _mix_math(a0, mk0, mb0)
+    o_m1[...] = _mix_math(a1, mk1, mb1)
+
+
+def _layer_values(p: Dict, dtype):
+    """Pack one EncoderLayer param subtree into kernel operand arrays."""
+    wq = p["q_proj"]["kernel"].astype(dtype)
+    wkv = jnp.concatenate(
+        [p["k_proj"]["kernel"], p["v_proj"]["kernel"]], axis=1
+    ).astype(dtype)
+    return (
+        wq,
+        wkv,
+        p["merge"]["kernel"].astype(dtype),
+        p["norm1"]["scale"].astype(jnp.float32),
+        p["norm1"]["bias"].astype(jnp.float32),
+        p["mlp1"]["kernel"].astype(dtype),
+        p["mlp2"]["kernel"].astype(dtype),
+        p["norm2"]["scale"].astype(jnp.float32),
+        p["norm2"]["bias"].astype(jnp.float32),
+    )
+
+
+def fine_stage_supported(layer_names: Sequence[str], d_model: int, nhead: int) -> bool:
+    """Kernel applicability: lane-aligned channels, per-head lane blocks."""
+    return (
+        _HAS_PALLAS
+        and d_model % 64 == 0
+        and nhead >= 1
+        and d_model % nhead == 0
+        and len(layer_names) >= 1
+        and all(n in ("self", "cross") for n in layer_names)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layer_names", "nhead", "chunk", "interpret")
+)
+def fine_stage_fused(
+    w0: jnp.ndarray,
+    w1: jnp.ndarray,
+    tf_params: Dict,
+    mix0: Dict,
+    mix1: Dict,
+    layer_names: Tuple[str, ...],
+    nhead: int,
+    chunk: int | None = None,
+    interpret: bool = False,
+):
+    """Fused fine transformer + window mixing.
+
+    Args:
+      w0, w1: [B_, N, C] fine windows (B_ = batch * K matches, N = ww).
+      tf_params: LocalFeatureTransformer subtree ({'layer_0': {...}, ...}).
+      mix0, mix1: _WindowMix subtrees ({'kernel': [N, 1], 'bias': [1]}).
+    Returns: (w0_out [B_, N, C], w1_out, m0 [B_, C], m1).
+    """
+    B_, N, C = w0.shape
+    dtype = w0.dtype
+    nl = len(layer_names)
+    d = C // nhead
+
+    # Mosaic lowers the in-kernel [CH, Np, C] <-> [CH*Np, C] reshape merges
+    # only when the token dim is a multiple of the 8-sublane tile; pad ww=49
+    # to 56 and mask the pads out of every attention sum (kvmask) and the
+    # mixing weights. Padded QUERY rows compute finite junk (LN of zeros =
+    # bias) that is sliced off below.
+    Np = ((N + 7) // 8) * 8
+    if Np != N:
+        w0 = jnp.pad(w0, ((0, 0), (0, Np - N), (0, 0)))
+        w1 = jnp.pad(w1, ((0, 0), (0, Np - N), (0, 0)))
+
+    if chunk is None:
+        # live set per chunk: a few [CH, Np, C] f32 intermediates + two
+        # [CH, C, C] products; target ~5 MB under Mosaic double buffering
+        chunk = max(1, int(5e6) // (Np * C * 4 * 5 + 2 * C * C * 4))
+    chunk = min(chunk, B_)
+    while B_ % chunk:
+        chunk -= 1
+
+    head_of = np.arange(C) // d
+    blockmask = jnp.asarray(
+        (head_of[:, None] == head_of[None, :]).astype(np.float32)
+    )
+    kvmask = jnp.asarray(
+        np.broadcast_to((np.arange(Np) < N)[:, None], (Np, C)).astype(np.float32)
+    )
+    pad_k = [(0, Np - N), (0, 0)]
+    mk0 = jnp.pad(mix0["kernel"], pad_k).reshape(1, Np).astype(dtype)
+    mk1 = jnp.pad(mix1["kernel"], pad_k).reshape(1, Np).astype(dtype)
+    mb0 = jnp.broadcast_to(mix0["bias"].astype(jnp.float32), (1, C))
+    mb1 = jnp.broadcast_to(mix1["bias"].astype(jnp.float32), (1, C))
+
+    layer_vals = []
+    for i in range(nl):
+        layer_vals.extend(_layer_values(tf_params[f"layer_{i}"], dtype))
+
+    def spec_of(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda g, _nd=nd: (0,) * _nd)
+
+    in_specs = [
+        pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
+        pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
+        spec_of(blockmask), spec_of(kvmask),
+        spec_of(mk0), spec_of(mb0), spec_of(mk1), spec_of(mb1),
+    ] + [spec_of(a) for a in layer_vals]
+
+    kernel = functools.partial(
+        _fine_kernel, layer_names=tuple(layer_names), n_real=N
+    )
+    w0f, w1f, m0, m1 = pl.pallas_call(
+        kernel,
+        grid=(B_ // chunk,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
+            pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
+            pl.BlockSpec((chunk, C), lambda g: (g, 0)),
+            pl.BlockSpec((chunk, C), lambda g: (g, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B_, Np, C), dtype),
+            jax.ShapeDtypeStruct((B_, Np, C), dtype),
+            jax.ShapeDtypeStruct((B_, C), dtype),
+            jax.ShapeDtypeStruct((B_, C), dtype),
+        ),
+        interpret=interpret,
+    )(w0, w1, blockmask, kvmask, mk0, mb0, mk1, mb1, *layer_vals)
+    if Np != N:
+        w0f = w0f[:, :N]
+        w1f = w1f[:, :N]
+    return w0f, w1f, m0, m1
