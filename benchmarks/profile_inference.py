@@ -19,6 +19,9 @@ import gzip
 import json
 import os
 import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 BUCKETS = [

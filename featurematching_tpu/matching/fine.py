@@ -135,9 +135,8 @@ def _gather_fwd(feat_f, ids, grid_c, window, stride):
     return out, (ids, feat_f.shape, jnp.zeros((0,), feat_f.dtype))
 
 
-def _gather_bwd(grid_c, window, stride, res, g):
-    ids, (B, Hf, Wf, C), proto = res
-    dtype = proto.dtype
+def _gather_bwd_taps(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g):
+    """Per-tap scatter-add: B*K*W*W updates of one [C] row each."""
     K = ids.shape[1]
     ys, xs, inb = _tap_coords(ids, grid_c, window, stride, Hf, Wf)
     lin = (jnp.clip(ys, 0, Hf - 1) * Wf + jnp.clip(xs, 0, Wf - 1)).reshape(
@@ -148,7 +147,77 @@ def _gather_bwd(grid_c, window, stride, res, g):
     )
     zero = jnp.zeros((B, Hf * Wf, C), dtype)
     dflat = jax.vmap(lambda z, i, v: z.at[i].add(v))(zero, lin, gm.astype(dtype))
-    return dflat.reshape(B, Hf, Wf, C), None
+    return dflat.reshape(B, Hf, Wf, C)
+
+
+def _fold_combos(s: int, W: int, off: int):
+    """col2im bookkeeping: for output residue r (mod stride s), the (cell
+    shift e, tap index d) pairs with s*e + r - off == d, 0 <= d < W."""
+    out = []
+    for r in range(s):
+        combos = []
+        for e in range((off - r + s - 1) // s, (W - 1 + off - r) // s + 1):
+            d = s * e + r - off
+            if 0 <= d < W:
+                combos.append((e, d))
+        out.append(combos)
+    return out
+
+
+def _gather_bwd_fold(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g):
+    """col2im backward: scatter whole window-grads as CONTIGUOUS rows into a
+    dense per-cell grid (B*K descriptors of W*W*C bytes — vs B*K*W*W one-row
+    descriptors in the per-tap path), then resolve the overlapping-window
+    sums with a STATIC shifted-add fold (every fine pixel is covered by at
+    most ceil(W/stride)^2 windows). The scatter has no overlapping-window
+    structure left, so XLA lowers it to clean row DMAs."""
+    hc, wc = grid_c
+    K = ids.shape[1]
+    W = window
+    s = stride
+    off = window_center_offset(W, s)
+
+    dense = jnp.zeros((B, hc * wc, W * W * C), dtype)
+    dense = jax.vmap(lambda z, i, v: z.at[i].add(v))(
+        dense, ids, g.astype(dtype).reshape(B, K, W * W * C)
+    )
+    combos = _fold_combos(s, W, off)
+    all_e = [e for c in combos for (e, _) in c]
+    P = max(max(all_e), -min(all_e))  # cell pad: shifted reads stay in range
+    cells = dense.reshape(B, hc, wc, W, W, C)
+    cp = jnp.pad(cells, ((0, 0), (P, P), (P, P), (0, 0), (0, 0), (0, 0)))
+
+    rows = []
+    for ry in range(s):
+        cols = []
+        for rx in range(s):
+            acc = None
+            for ey, dy in combos[ry]:
+                for ex, dx in combos[rx]:
+                    # cell cy = q - e  ->  padded index q + P - e
+                    part = jax.lax.slice(
+                        cp,
+                        (0, P - ey, P - ex, dy, dx, 0),
+                        (B, P - ey + hc, P - ex + wc, dy + 1, dx + 1, C),
+                    )[:, :, :, 0, 0, :]
+                    acc = part if acc is None else acc + part
+            if acc is None:  # window < stride: residue never covered
+                acc = jnp.zeros((B, hc, wc, C), dtype)
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=3))  # [B, hc, wc, s, C]
+    out6 = jnp.stack(rows, axis=2)  # [B, hc, s, wc, s, C]
+    return out6.reshape(B, hc * s, wc * s, C)
+
+
+def _gather_bwd(grid_c, window, stride, res, g):
+    ids, (B, Hf, Wf, C), proto = res
+    dtype = proto.dtype
+    hc, wc = grid_c
+    if Hf == hc * stride and Wf == wc * stride:
+        d = _gather_bwd_fold(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g)
+    else:
+        d = _gather_bwd_taps(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g)
+    return d, None
 
 
 gather_fine_windows.defvjp(_gather_fwd, _gather_bwd)
@@ -176,6 +245,34 @@ def spatial_expectation(heatmap: jnp.ndarray, window: int):
     var = e2 - coords * coords
     std = jnp.sum(jnp.sqrt(jnp.clip(var, min=1e-10)), axis=-1)
     return coords, std
+
+
+def fine_from_heatmaps(
+    heat0: jnp.ndarray,
+    heat1: jnp.ndarray,
+    mkpts0_c: jnp.ndarray,
+    mkpts1_c: jnp.ndarray,
+    window: int,
+    img_to_fine_scale: float,
+) -> FineMatches:
+    """fine_soft_argmax's tail when the correlation + softmax already ran
+    (e.g. inside ops/pallas_fine_stage.fine_stage_fused's fold mode).
+
+    heat*: [B, K, W*W] softmaxed heatmaps (pad-free probability mass).
+    """
+    coords0, std0 = spatial_expectation(heat0, window)
+    coords1, std1 = spatial_expectation(heat1, window)
+    half = window // 2
+    mkpts0_f = mkpts0_c + coords0 * (half * img_to_fine_scale) + half
+    mkpts1_f = mkpts1_c + coords1 * (half * img_to_fine_scale) + half
+    return FineMatches(
+        mkpts0_f=jnp.concatenate([mkpts0_f, std0[..., None]], axis=-1),
+        mkpts1_f=jnp.concatenate([mkpts1_f, std1[..., None]], axis=-1),
+        coords0=coords0,
+        coords1=coords1,
+        std0=std0,
+        std1=std1,
+    )
 
 
 def fine_soft_argmax(

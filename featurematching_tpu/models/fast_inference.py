@@ -28,7 +28,15 @@ from featurematching_tpu.matching.coarse import (
     extract_matches_from_stats,
     ids_to_keypoints,
 )
-from featurematching_tpu.matching.fine import fine_soft_argmax, gather_fine_windows
+from featurematching_tpu.matching.fine import (
+    fine_from_heatmaps,
+    fine_soft_argmax,
+    gather_fine_windows,
+)
+from featurematching_tpu.ops.pallas_coarse_transformer import (
+    coarse_transformer_fused,
+    coarse_transformer_supported,
+)
 from featurematching_tpu.models.backbone_swin import (
     _rel_pos_bias_from_table,
     _shift_attn_mask,
@@ -253,9 +261,25 @@ def make_fast_matcher_fn(cfg: ModelConfig, interpret: bool = False):
 
         feat_c0 = feat_c0.reshape(B, hc * wc, Cc)
         feat_c1 = feat_c1.reshape(B, hc * wc, Cc)
-        feat_c0, feat_c1 = coarse_tf.apply(
-            {"params": params["coarse_transformer"]}, feat_c0, feat_c1
+        use_fused_coarse = (
+            not interpret
+            and jax.default_backend() != "cpu"
+            and cfg.coarse.attention == "linear"
+            and coarse_transformer_supported(
+                cfg.coarse.layer_names, Cc, cfg.coarse.nhead, hc * wc
+            )
         )
+        if use_fused_coarse:
+            # 8 encoder layers as streaming stats+apply kernel pairs — the
+            # XLA op-chain here device-profiled at ~5.5 ms/iter
+            feat_c0, feat_c1 = coarse_transformer_fused(
+                feat_c0, feat_c1, params["coarse_transformer"],
+                cfg.coarse.layer_names, cfg.coarse.nhead,
+            )
+        else:
+            feat_c0, feat_c1 = coarse_tf.apply(
+                {"params": params["coarse_transformer"]}, feat_c0, feat_c1
+            )
 
         mc = cfg.match_coarse
         impl = "xla" if (interpret or jax.default_backend() == "cpu") else "pallas"
@@ -299,19 +323,27 @@ def make_fast_matcher_fn(cfg: ModelConfig, interpret: bool = False):
             and fine_stage_supported(cfg.fine.layer_names, Cf, cfg.fine.nhead)
         )
         if use_fused_fine:
-            # whole fine transformer + 49->1 mixing in ONE Pallas kernel —
-            # the XLA chain here is ~20 small [B*K, ww, C] HBM round trips
-            w0, w1, w0_mixed, w1_mixed = fine_stage_fused(
+            # whole fine transformer + 49->1 mixing + center-vs-window
+            # soft-argmax correlation/softmax in ONE Pallas kernel — the XLA
+            # chain here is ~20 small [B*K, ww, C] HBM round trips, and the
+            # fold skips the two [B*K, ww, C] window writebacks entirely
+            heat0, heat1 = fine_stage_fused(
                 win0.reshape(B * K, ww, Cf),
                 win1.reshape(B * K, ww, Cf),
                 params["fine_transformer"],
                 params["mix_feat_0"], params["mix_feat_1"],
                 cfg.fine.layer_names, cfg.fine.nhead,
+                fold_softargmax=True,
             )
-            w0 = w0.reshape(B, K, ww, Cf)
-            w1 = w1.reshape(B, K, ww, Cf)
-            w0_mixed = w0_mixed.reshape(B, K, Cf)
-            w1_mixed = w1_mixed.reshape(B, K, Cf)
+            fine = fine_from_heatmaps(
+                heat0.reshape(B, K, ww), heat1.reshape(B, K, ww),
+                mkpts0_c, mkpts1_c, Wf_win, float(sf),
+            )
+            return MatcherOutput(
+                coarse=matches, fine=fine, conf_matrix=None,
+                feat_c0=feat_c0, feat_c1=feat_c1,
+                fine_ids=(i_ids, j_ids, mask),
+            )
         else:
             w0, w1 = fine_tf.apply(
                 {"params": params["fine_transformer"]},

@@ -146,16 +146,47 @@ def _mix_math(w, mk_row, mb):
     return acc.reshape(CH, C).astype(w.dtype) + mb.astype(w.dtype)
 
 
-def _fine_kernel(*refs, layer_names, n_real):
-    """refs: x0, x1, blockmask, kvmask, mk0, mb0, mk1, mb1, then 9 weight
-    refs per layer, then outputs w0, w1, m0, m1."""
+def _mix_acc3(w, mk_row, mb):
+    """_mix_math keeping the [CH, 1, C] batched-dot form (same values)."""
+    CH, Np, C = w.shape
+    mk_b = jnp.broadcast_to(mk_row[None], (CH, 1, Np)).astype(w.dtype)
+    acc = _bdot(mk_b, w, (((2,), (1,))))  # [CH, 1, C] f32
+    return acc.astype(w.dtype) + mb.astype(w.dtype)  # [1, C] sublane-bcast
+
+
+def _heat_math(m, win, padbias, temp):
+    """Center-vs-window correlation + masked softmax (fine_matching_new.py:
+    56-63 / matching/fine.fine_soft_argmax). m: [CH, 1, C] mixed centers,
+    win: [CH, Np, C] windows. Returns [CH, 1, Np] f32 heatmaps; padded taps
+    carry exactly zero mass (padbias = -1e9 at r >= n_real).
+
+    The q@k^T-style batched dot (both operands contract their lane dim) is
+    the standard Mosaic attention contraction; bf16 operands with f32
+    accumulation reproduce the XLA path bit-wise up to summation order
+    (bf16 products are exact in f32).
+    """
+    sim = _bdot(m, win, (((2,), (2,))))  # [CH, 1, Np] f32
+    s = sim * temp + padbias[None]
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - mx)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fine_kernel(*refs, layer_names, n_real, fold):
+    """refs: x0, x1, blockmask, kvmask, mk0, mb0, mk1, mb1, [padbias], then
+    9 weight refs per layer, then outputs — (w0, w1, m0, m1) in the plain
+    mode, (h0, h1) heatmaps in fold mode."""
     nl = len(layer_names)
     x0_ref, x1_ref = refs[0], refs[1]
     blockmask = refs[2][...]
     kvmask = refs[3][...]
     mk0, mb0, mk1, mb1 = (r[...] for r in refs[4:8])
-    wrefs = refs[8 : 8 + 9 * nl]
-    o_w0, o_w1, o_m0, o_m1 = refs[8 + 9 * nl :]
+    base = 8
+    if fold:
+        padbias = refs[8][...]
+        base = 9
+    wrefs = refs[base : base + 9 * nl]
+    outs = refs[base + 9 * nl :]
 
     a0 = x0_ref[...]
     a1 = x1_ref[...]
@@ -167,10 +198,20 @@ def _fine_kernel(*refs, layer_names, n_real):
         else:  # cross: a1 sees the UPDATED a0 (transformer.py order)
             a0 = _enc_math(a0, a1, wl, blockmask, kvmask, n_real)
             a1 = _enc_math(a1, a0, wl, blockmask, kvmask, n_real)
-    o_w0[...] = a0
-    o_w1[...] = a1
-    o_m0[...] = _mix_math(a0, mk0, mb0)
-    o_m1[...] = _mix_math(a1, mk1, mb1)
+    if fold:
+        C = a0.shape[-1]
+        temp = 1.0 / (C**0.5)
+        m0 = _mix_acc3(a0, mk0, mb0)
+        m1 = _mix_acc3(a1, mk1, mb1)
+        o_h0, o_h1 = outs
+        o_h0[...] = _heat_math(m0, a1, padbias, temp)
+        o_h1[...] = _heat_math(m1, a0, padbias, temp)
+    else:
+        o_w0, o_w1, o_m0, o_m1 = outs
+        o_w0[...] = a0
+        o_w1[...] = a1
+        o_m0[...] = _mix_math(a0, mk0, mb0)
+        o_m1[...] = _mix_math(a1, mk1, mb1)
 
 
 def _layer_values(p: Dict, dtype):
@@ -205,7 +246,8 @@ def fine_stage_supported(layer_names: Sequence[str], d_model: int, nhead: int) -
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layer_names", "nhead", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("layer_names", "nhead", "chunk", "interpret", "fold_softargmax"),
 )
 def fine_stage_fused(
     w0: jnp.ndarray,
@@ -217,14 +259,20 @@ def fine_stage_fused(
     nhead: int,
     chunk: int | None = None,
     interpret: bool = False,
+    fold_softargmax: bool = False,
 ):
-    """Fused fine transformer + window mixing.
+    """Fused fine transformer + window mixing (+ optional soft-argmax fold).
 
     Args:
       w0, w1: [B_, N, C] fine windows (B_ = batch * K matches, N = ww).
       tf_params: LocalFeatureTransformer subtree ({'layer_0': {...}, ...}).
       mix0, mix1: _WindowMix subtrees ({'kernel': [N, 1], 'bias': [1]}).
-    Returns: (w0_out [B_, N, C], w1_out, m0 [B_, C], m1).
+      fold_softargmax: when True, also run the center-vs-window correlation
+        and masked softmax of fine_matching_new.py:56-63 IN the kernel and
+        return ONLY (heat0, heat1) [B_, N] f32 — the [B_, N, C] window
+        writebacks (and their downstream XLA re-reads) are skipped entirely.
+    Returns: (w0_out [B_, N, C], w1_out, m0 [B_, C], m1), or (heat0, heat1)
+    in fold mode.
     """
     B_, N, C = w0.shape
     dtype = w0.dtype
@@ -243,8 +291,10 @@ def fine_stage_fused(
 
     if chunk is None:
         # live set per chunk: a few [CH, Np, C] f32 intermediates + two
-        # [CH, C, C] products; target ~5 MB under Mosaic double buffering
-        chunk = max(1, int(5e6) // (Np * C * 4 * 5 + 2 * C * C * 4))
+        # [CH, C, C] products; target ~7 MB under Mosaic double buffering
+        # (device sweep at [4096, 49->56, 64]: chunk 32 = 3.96 ms, 64 =
+        # 3.72 ms, 128 = scoped-vmem OOM at 23.6M/16M)
+        chunk = max(1, int(7e6) // (Np * C * 4 * 5 + 2 * C * C * 4))
     chunk = min(chunk, B_)
     while B_ % chunk:
         chunk -= 1
@@ -270,34 +320,59 @@ def fine_stage_fused(
         nd = a.ndim
         return pl.BlockSpec(a.shape, lambda g, _nd=nd: (0,) * _nd)
 
+    extra = []
+    if fold_softargmax:
+        padbias = jnp.asarray(
+            np.where(np.arange(Np) < N, 0.0, -1e9).astype(np.float32)
+        ).reshape(1, Np)
+        extra = [padbias]
+
     in_specs = [
         pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
         pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
         spec_of(blockmask), spec_of(kvmask),
         spec_of(mk0), spec_of(mb0), spec_of(mk1), spec_of(mb1),
-    ] + [spec_of(a) for a in layer_vals]
+    ] + [spec_of(a) for a in extra] + [spec_of(a) for a in layer_vals]
 
     kernel = functools.partial(
-        _fine_kernel, layer_names=tuple(layer_names), n_real=N
+        _fine_kernel, layer_names=tuple(layer_names), n_real=N,
+        fold=fold_softargmax,
     )
-    w0f, w1f, m0, m1 = pl.pallas_call(
+    if fold_softargmax:
+        out_specs = (
+            pl.BlockSpec((chunk, 1, Np), lambda g: (g, 0, 0)),
+            pl.BlockSpec((chunk, 1, Np), lambda g: (g, 0, 0)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((B_, 1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B_, 1, Np), jnp.float32),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
+            pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
+            pl.BlockSpec((chunk, C), lambda g: (g, 0)),
+            pl.BlockSpec((chunk, C), lambda g: (g, 0)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((B_, Np, C), dtype),
+            jax.ShapeDtypeStruct((B_, Np, C), dtype),
+            jax.ShapeDtypeStruct((B_, C), dtype),
+            jax.ShapeDtypeStruct((B_, C), dtype),
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(B_ // chunk,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
-            pl.BlockSpec((chunk, Np, C), lambda g: (g, 0, 0)),
-            pl.BlockSpec((chunk, C), lambda g: (g, 0)),
-            pl.BlockSpec((chunk, C), lambda g: (g, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B_, Np, C), dtype),
-            jax.ShapeDtypeStruct((B_, Np, C), dtype),
-            jax.ShapeDtypeStruct((B_, C), dtype),
-            jax.ShapeDtypeStruct((B_, C), dtype),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(w0, w1, blockmask, kvmask, mk0, mb0, mk1, mb1, *layer_vals)
+    )(w0, w1, blockmask, kvmask, mk0, mb0, mk1, mb1, *extra, *layer_vals)
+    if fold_softargmax:
+        h0, h1 = outs
+        # padded taps have exactly zero mass: slicing keeps sum == 1
+        return h0.reshape(B_, Np)[:, :N], h1.reshape(B_, Np)[:, :N]
+    w0f, w1f, m0, m1 = outs
     if Np != N:
         w0f = w0f[:, :N]
         w1f = w1f[:, :N]

@@ -6,6 +6,7 @@ fine_preprocess.py, fine_matching_new.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from featurematching_tpu.matching.coarse import (
     border_mask_flat,
@@ -216,6 +217,39 @@ class TestFineWindows:
         )
         ref = self.np_unfold_gather(feat, ids, (hc, wc), W, stride)
         np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "B,hc,wc,W,stride,K",
+        [
+            (2, 6, 8, 7, 4, 11),   # flagship geometry
+            (1, 8, 8, 7, 2, 9),    # stride < window/2: |cell shift| > 1
+            (1, 6, 6, 3, 8, 5),    # window < stride: uncovered residues
+            (2, 7, 9, 7, 1, 6),
+        ],
+    )
+    def test_gather_backward_fold_matches_scatter(self, rng, B, hc, wc, W, stride, K):
+        """The col2im backward (_gather_bwd_fold) must equal both the per-tap
+        scatter path and jax autodiff of the raw forward, incl. duplicate ids
+        and border windows."""
+        from featurematching_tpu.matching.fine import (
+            _gather_bwd_fold,
+            _gather_bwd_taps,
+            _gather_rows,
+        )
+
+        C = 8
+        Hf, Wf = hc * stride, wc * stride
+        feat = jnp.asarray(rng.standard_normal((B, Hf, Wf, C)).astype(np.float32))
+        ids_np = rng.integers(0, hc * wc, size=(B, K))
+        ids_np[:, -1] = ids_np[:, 0]  # force a duplicate id (scatter-add path)
+        ids = jnp.asarray(ids_np)
+        g = jnp.asarray(rng.standard_normal((B, K, W * W, C)).astype(np.float32))
+        d_fold = _gather_bwd_fold(ids, B, Hf, Wf, C, feat.dtype, (hc, wc), W, stride, g)
+        d_tap = _gather_bwd_taps(ids, B, Hf, Wf, C, feat.dtype, (hc, wc), W, stride, g)
+        _, vjp = jax.vjp(lambda f: _gather_rows(f, ids, (hc, wc), W, stride), feat)
+        (d_auto,) = vjp(g)
+        np.testing.assert_allclose(np.asarray(d_fold), np.asarray(d_tap), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d_fold), np.asarray(d_auto), rtol=1e-5, atol=1e-5)
 
     def test_border_windows_zero_padded(self, rng):
         B, hc, wc, stride, W, C = 1, 3, 3, 4, 7, 2

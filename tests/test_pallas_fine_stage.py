@@ -93,6 +93,37 @@ class TestFineStageFused:
                 rtol=0.05, atol=0.13,
             )
 
+    @pytest.mark.parametrize(
+        "B_,N,C,nhead,layer_names",
+        [
+            (8, 49, 64, 8, ("self", "cross")),
+            (6, 25, 64, 4, ("self", "cross")),
+        ],
+    )
+    def test_fold_softargmax(self, rng, B_, N, C, nhead, layer_names):
+        """Fold mode == XLA correlation+softmax on the plain-mode outputs."""
+        tf, variables, w0, w1, mix0, mix1 = _make(
+            rng, B_, N, C, nhead, layer_names, jnp.float32
+        )
+        r0, r1 = tf.apply(variables, w0, w1)
+        rm0 = _mix_ref(r0, mix0)
+        rm1 = _mix_ref(r1, mix1)
+        temp = 1.0 / (C**0.5)
+        ref_h0 = jax.nn.softmax(
+            temp * jnp.einsum("bc,brc->br", rm0, r1), axis=-1
+        )
+        ref_h1 = jax.nn.softmax(
+            temp * jnp.einsum("bc,brc->br", rm1, r0), axis=-1
+        )
+        h0, h1 = fine_stage_fused(
+            w0, w1, variables["params"], mix0, mix1, layer_names, nhead,
+            chunk=2, interpret=True, fold_softargmax=True,
+        )
+        assert h0.shape == (B_, N) and h1.shape == (B_, N)
+        np.testing.assert_allclose(np.asarray(h0), np.asarray(ref_h0), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(ref_h1), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(h0).sum(-1), 1.0, rtol=1e-5)
+
     def test_chunk_divisibility(self, rng):
         """Odd B_ forces the chunk-shrink loop; result must not change."""
         B_, N, C, nhead = 6, 25, 64, 4
