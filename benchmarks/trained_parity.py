@@ -50,17 +50,33 @@ COARSE = 8
 NUM_GT = 160  # padded GT capacity (ours); actual rows vary per pair
 
 
-def make_fixture(seed: int, n_train: int, n_val: int) -> List[Dict[str, np.ndarray]]:
+def make_fixture(
+    seed: int, n_train: int, n_val: int, scene: str = "plane"
+) -> List[Dict[str, np.ndarray]]:
     """Frozen list of pairs. Each: img0/img1 [H,W] f32 in [0,1], kp0/kp1
     [M,2] (x,y) full-res with unique coarse cells in both images, K, T_0to1,
-    T_1to0."""
+    T_1to0.
+
+    scene='plane': the original single-homography pairs. NOTE this is the
+    planar-degenerate case for essential-matrix recovery — pose AUC@5/10 is
+    near zero for ANY matcher on such scenes (scene property, not framework).
+    scene='two_plane': two planes at different depths with larger motion;
+    VAL pairs are additionally oracle-gated (cv2 RANSAC on the clean GT
+    keypoints must recover the pose to < 2 deg) so that pose AUC measures
+    match quality, not scene solvability. Both frameworks always see the
+    SAME frozen pairs either way."""
     from featurematching_tpu.data.synthetic import synthetic_batch
 
+    kw = (
+        dict(n_planes=2, rot_scale=0.08, trans_scale=0.15)
+        if scene == "two_plane"
+        else {}
+    )
     rng = np.random.default_rng(seed)
     pairs = []
-    for _ in range(n_train + n_val):
+    while len(pairs) < n_train + n_val:
         b = synthetic_batch(
-            rng, batch_size=1, image_size=(H, W), channels=1, num_gt=NUM_GT
+            rng, batch_size=1, image_size=(H, W), channels=1, num_gt=NUM_GT, **kw
         )
         kp0 = b["gt_kp0"][0][b["gt_mask"][0]]
         kp1 = b["gt_kp1"][0][b["gt_mask"][0]]
@@ -72,17 +88,29 @@ def make_fixture(seed: int, n_train: int, n_val: int) -> List[Dict[str, np.ndarr
         kp0, kp1, c0 = kp0[i1], kp1[i1], c0[i1]
         _, i0 = np.unique(c0, return_index=True)
         kp0, kp1 = kp0[i0], kp1[i0]
-        pairs.append(
-            dict(
-                img0=b["image0"][0, :, :, 0],
-                img1=b["image1"][0, :, :, 0],
-                kp0=kp0.astype(np.float32),
-                kp1=kp1.astype(np.float32),
-                K=b["K0"][0],
-                T_0to1=b["T_0to1"][0],
-                T_1to0=b["T_1to0"][0],
-            )
+        pair = dict(
+            img0=b["image0"][0, :, :, 0],
+            img1=b["image1"][0, :, :, 0],
+            kp0=kp0.astype(np.float32),
+            kp1=kp1.astype(np.float32),
+            K=b["K0"][0],
+            T_0to1=b["T_0to1"][0],
+            T_1to0=b["T_1to0"][0],
         )
+        if scene == "two_plane" and len(pairs) >= n_train:
+            # oracle gate (val pairs only): clean GT keypoints must yield
+            # the pose — rejects cv2-side cheirality flips / tiny baselines
+            ret = estimate_pose_cv2(
+                np.ascontiguousarray(kp0, np.float64),
+                np.ascontiguousarray(kp1, np.float64),
+                pair["K"],
+            )
+            if ret is None:
+                continue
+            t_err, R_err = relative_pose_error(pair["T_0to1"], *ret)
+            if max(t_err, R_err) > 2.0:
+                continue
+        pairs.append(pair)
     return pairs
 
 
@@ -459,10 +487,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--lr", type=float, default=4e-4)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--scene", choices=("plane", "two_plane"), default="plane")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
-    pairs = make_fixture(args.seed, args.train_pairs, args.val_pairs)
+    pairs = make_fixture(args.seed, args.train_pairs, args.val_pairs, args.scene)
     rng = np.random.default_rng(args.seed + 1)
     order = np.concatenate(
         [rng.permutation(args.train_pairs) for _ in range(args.epochs)]

@@ -266,3 +266,65 @@ class TestLoader:
         cd = ConcatDataset([a, b])
         assert len(cd) == 7
         assert int(cd[5]["i"]) == 2  # second dataset index 2
+
+
+class TestSyntheticTwoPlane:
+    """The two-plane synthetic scene (data/synthetic.py): GT must satisfy the
+    epipolar constraint exactly, and must NOT be explainable by one homography
+    (the parallax is the whole point — it is what makes essential-matrix pose
+    recovery on this fixture well-conditioned)."""
+
+    def _batch(self, seed=3):
+        from featurematching_tpu.data.synthetic import synthetic_batch
+
+        rng = np.random.default_rng(seed)
+        return synthetic_batch(
+            rng, batch_size=2, image_size=(96, 128), channels=1, num_gt=160,
+            rot_scale=0.08, trans_scale=0.15, n_planes=2,
+        )
+
+    def test_gt_epipolar_consistency(self):
+        b = self._batch()
+        for i in range(2):
+            K = b["K0"][i]
+            T = b["T_0to1"][i]
+            t, R = T[:3, 3], T[:3, :3]
+            E = np.array(
+                [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]]
+            ) @ R
+            m = b["gt_mask"][i]
+            assert m.sum() >= 100
+            p0 = np.linalg.solve(
+                K, np.concatenate([b["gt_kp0"][i][m], np.ones((m.sum(), 1))], -1).T
+            ).T
+            p1 = np.linalg.solve(
+                K, np.concatenate([b["gt_kp1"][i][m], np.ones((m.sum(), 1))], -1).T
+            ).T
+            resid = np.abs(np.sum(p1 * (p0 @ E.T), -1))
+            assert resid.max() < 1e-5
+
+    def test_not_a_single_homography(self):
+        b = self._batch()
+        for i in range(2):
+            m = b["gt_mask"][i]
+            p0 = b["gt_kp0"][i][m]
+            p1 = b["gt_kp1"][i][m]
+            # DLT fit of ONE homography to all GT; residual must be large
+            A = []
+            for (x, y), (u, v) in zip(p0, p1):
+                A.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+                A.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+            _, _, vt = np.linalg.svd(np.asarray(A))
+            Hm = vt[-1].reshape(3, 3)
+            ph = (Hm @ np.concatenate([p0, np.ones((len(p0), 1))], -1).T).T
+            pred = ph[:, :2] / ph[:, 2:3]
+            resid = np.linalg.norm(pred - p1, axis=-1)
+            assert np.percentile(resid, 90) > 1.0  # > 1px: real parallax
+
+    def test_images_and_shapes(self):
+        b = self._batch()
+        assert b["image0"].shape == (2, 96, 128, 1)
+        assert b["image1"].shape == (2, 96, 128, 1)
+        for k in ("image0", "image1"):
+            assert np.isfinite(b[k]).all()
+            assert 0.0 <= b[k].min() and b[k].max() <= 1.0 + 1e-6
