@@ -25,9 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 BUCKETS = [
-    ("pallas_block_bwd", re.compile(r"swin_block.*(vjp|bwd|grad)|.*grad.*swin_block")),
-    ("pallas_block_fwd", re.compile(r"swin_block")),
+    ("pallas_block_bwd", re.compile(r"swin_block.*(vjp|bwd|grad)|.*grad.*swin_block|_bwd_impl")),
+    ("pallas_block_fwd", re.compile(r"swin_block|_fwd_impl")),
     ("pallas_matcher", re.compile(r"dual_softmax|match_stats|_pallas_forward")),
+    ("pallas_fine", re.compile(r"fine_stage_fused")),
+    ("pallas_coarse", re.compile(r"layer_stats|layer_apply")),
+    ("pallas_ln", re.compile(r"layer_norm_chain")),
     ("pallas_other", re.compile(r"pallas|mosaic|custom-call")),
     ("gather", re.compile(r"gather")),
     ("conv", re.compile(r"convolution")),
@@ -72,6 +75,8 @@ def parse_trace(trace_dir: str, iters: int) -> None:
         if name.startswith("Steps") or name.startswith("run_"):
             continue
         if name.startswith("jit_"):  # whole-module parent span, double-counts
+            continue
+        if name.isdigit():  # per-step marker span, double-counts everything
             continue
         op_dur[name] += e.get("dur", 0)
         op_cnt[name] += 1

@@ -62,6 +62,10 @@ class TransformerConfig:
     nhead: int = 8
     layer_names: Tuple[str, ...] = ("self", "cross") * 4
     attention: str = "linear"  # 'linear' | 'full'
+    # differentiable fused Pallas stack (ops/pallas_coarse_grad) for the
+    # training/eval Matcher path: 'auto' (on accelerators), 'on', 'off'.
+    # Falls back per-call when unsupported (masks, odd dims, 'full').
+    fused_train: str = "auto"
 
 
 @_frozen

@@ -209,11 +209,23 @@ def _gather_bwd_fold(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g):
     return out6.reshape(B, hc * s, wc * s, C)
 
 
+# Backward strategy. Device A/B at the flagship train shape (one process,
+# fused Swin + fused coarse, batch 4):
+#   quiet host:      per-tap 73.3 ms/step  vs  col2im-fold 75.2 ms/step
+#   contended host:  per-tap 90.4 ms/step  vs  col2im-fold 79.0 ms/step
+# The per-tap scatter is device-efficient but dispatch-heavy (B*K*W*W row
+# descriptors) — it degrades badly when the host is loaded; the fold trades
+# ~2 ms of dense-grid HBM traffic for dispatch-independence. Default to the
+# quiet-host winner; flip GATHER_BWD_MODE to "fold" on dispatch-bound hosts.
+GATHER_BWD_MODE = "tap"
+
+
 def _gather_bwd(grid_c, window, stride, res, g):
     ids, (B, Hf, Wf, C), proto = res
     dtype = proto.dtype
     hc, wc = grid_c
-    if Hf == hc * stride and Wf == wc * stride:
+    on_grid = Hf == hc * stride and Wf == wc * stride
+    if GATHER_BWD_MODE == "fold" and on_grid:
         d = _gather_bwd_fold(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g)
     else:
         d = _gather_bwd_taps(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g)

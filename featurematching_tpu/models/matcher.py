@@ -196,9 +196,14 @@ class Matcher(nn.Module):
             feat_c1 = feat_c1 + pe[None]
         feat_c0 = feat_c0.reshape(B, hc * wc, Cc)
         feat_c1 = feat_c1.reshape(B, hc * wc, Cc)
+        if cfg.coarse.fused_train == "auto":
+            fused_tf = jax.default_backend() not in ("cpu",)
+        else:
+            fused_tf = cfg.coarse.fused_train == "on"
         feat_c0, feat_c1 = LocalFeatureTransformer(
             cfg.coarse.d_model, cfg.coarse.nhead, cfg.coarse.layer_names,
             cfg.coarse.attention, dtype, name="coarse_transformer",
+            use_fused_train=fused_tf,
         )(feat_c0, feat_c1)
 
         # 3. coarse matching — normalize by sqrt(C) each (carried inside

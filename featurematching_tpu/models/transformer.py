@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from featurematching_tpu.ops.attention import (
@@ -22,6 +23,58 @@ from featurematching_tpu.ops.attention import (
     linear_attention,
     linear_attention_packed,
 )
+
+
+class _DenseKernel(nn.Module):
+    """nn.Dense-identical kernel param (no op, no bias) so the fused-train
+    path can read the raw weight while keeping the param tree
+    checkpoint-compatible with the per-op path."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+
+
+class _LayerNormParams(nn.Module):
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+
+
+class _EncoderLayerParams(nn.Module):
+    """EncoderLayer-identical param subtree without the ops."""
+
+    d_model: int
+
+    def setup(self):
+        C = self.d_model
+        self.q_proj = _DenseKernel(C, C)
+        self.k_proj = _DenseKernel(C, C)
+        self.v_proj = _DenseKernel(C, C)
+        self.merge = _DenseKernel(C, C)
+        self.norm1 = _LayerNormParams(C)
+        self.mlp1 = _DenseKernel(2 * C, 2 * C)
+        self.mlp2 = _DenseKernel(2 * C, C)
+        self.norm2 = _LayerNormParams(C)
+
+    def tree(self):
+        return {
+            "q_proj": {"kernel": self.q_proj.kernel},
+            "k_proj": {"kernel": self.k_proj.kernel},
+            "v_proj": {"kernel": self.v_proj.kernel},
+            "merge": {"kernel": self.merge.kernel},
+            "norm1": {"scale": self.norm1.scale, "bias": self.norm1.bias},
+            "mlp1": {"kernel": self.mlp1.kernel},
+            "mlp2": {"kernel": self.mlp2.kernel},
+            "norm2": {"scale": self.norm2.scale, "bias": self.norm2.bias},
+        }
 
 
 class EncoderLayer(nn.Module):
@@ -66,17 +119,47 @@ class EncoderLayer(nn.Module):
 
 
 class LocalFeatureTransformer(nn.Module):
-    """Alternating self/cross stack (transformer.py:59-97)."""
+    """Alternating self/cross stack (transformer.py:59-97).
+
+    `use_fused_train`: route through the differentiable fused Pallas kernels
+    (ops/pallas_coarse_grad.coarse_transformer_train — fwd AND bwd streamed
+    on-chip). Callers enable it on TPU; it transparently falls back to the
+    per-op path when unsupported (masks, odd dims, 'full' attention). On CPU
+    the fused path runs in Pallas interpret mode (tests only — slow).
+    """
 
     d_model: int
     nhead: int
     layer_names: Sequence[str]
     attention: str = "linear"
     dtype: jnp.dtype = jnp.float32
+    use_fused_train: bool = False
 
     @nn.compact
     def __call__(self, feat0, feat1, mask0=None, mask1=None):
         assert feat0.shape[-1] == self.d_model
+        if self.use_fused_train and self.attention == "linear" and (
+            mask0 is None and mask1 is None and feat0.shape == feat1.shape
+        ):
+            from featurematching_tpu.ops.pallas_coarse_grad import (
+                coarse_train_supported,
+                coarse_transformer_train,
+            )
+
+            if coarse_train_supported(
+                self.layer_names, self.d_model, self.nhead, feat0.shape[1]
+            ):
+                tree = {
+                    f"layer_{i}": _EncoderLayerParams(
+                        self.d_model, name=f"layer_{i}"
+                    ).tree()
+                    for i in range(len(self.layer_names))
+                }
+                return coarse_transformer_train(
+                    feat0.astype(self.dtype), feat1.astype(self.dtype), tree,
+                    tuple(self.layer_names), self.nhead, None,
+                    jax.default_backend() == "cpu",  # interpret for CPU tests
+                )
         for i, name in enumerate(self.layer_names):
             layer = EncoderLayer(
                 self.d_model, self.nhead, self.attention, self.dtype, name=f"layer_{i}"
