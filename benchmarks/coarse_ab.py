@@ -72,6 +72,41 @@ def main() -> None:
     for name, fn in [("flax/xla", flax_fn), ("fused", fused_fn)]:
         print(f"{name:9s} {bench(fn):7.2f} ms/call")
 
+    if "--grad" not in sys.argv:
+        return
+
+    # ---- fwd+bwd A/B (the training-path slice) ----
+    from featurematching_tpu.ops.pallas_coarse_grad import (
+        coarse_transformer_train,
+    )
+
+    def loss_flax(p, a, b):
+        r0, r1 = tf.apply(p, a, b)
+        return jnp.sum(r0.astype(jnp.float32) ** 2) + jnp.sum(
+            r1.astype(jnp.float32) ** 2
+        )
+
+    def loss_fused(p, a, b):
+        r0, r1 = coarse_transformer_train(
+            a, b, p["params"], names, h, None, False
+        )
+        return jnp.sum(r0.astype(jnp.float32) ** 2) + jnp.sum(
+            r1.astype(jnp.float32) ** 2
+        )
+
+    def bench_grad(loss, iters=15):
+        g = jax.jit(jax.grad(loss))
+        r = g(params, f0, f1)
+        float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = g(params, f0, f1)
+        float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+        return (time.perf_counter() - t0) / iters * 1000
+
+    for name, loss in [("flax grad", loss_flax), ("fused grad", loss_fused)]:
+        print(f"{name:10s} {bench_grad(loss):7.2f} ms/call (fwd+bwd)")
+
 
 if __name__ == "__main__":
     main()

@@ -29,7 +29,7 @@ class TestCoarseTransformerFused:
         assert not coarse_transformer_supported(("self",), 256, 8, 7)  # no chunk
 
     def test_pick_chunk(self):
-        assert _pick_chunk(4800, 256) == 960
+        assert _pick_chunk(4800, 256) == 1600  # device-swept default
         assert 4800 % _pick_chunk(4800, 256) == 0
         assert _pick_chunk(64, 128) == 64
         assert _pick_chunk(7, 128) == 0
