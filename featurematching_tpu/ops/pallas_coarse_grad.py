@@ -372,8 +372,9 @@ def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
     dtype = calls[0][0].dtype
     if chunk is None:
         # the bwd kernels hold ~3x the forward's live set (recompute +
-        # cotangents): chunk 960 hit the 16M scoped-vmem limit at 17.1M
-        chunk = _pick_chunk(N, C, target_rows=480)
+        # cotangents): chunk 960 hit the 16M scoped-vmem limit at 17.1M;
+        # device A/B: 480 = 73.3, 600 = 72.0 ms/step end-to-end
+        chunk = _pick_chunk(N, C, target_rows=600)
     bm = _blockmask(C, nhead)
 
     plan = _call_plan(layer_names)
