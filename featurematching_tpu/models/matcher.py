@@ -279,9 +279,14 @@ class Matcher(nn.Module):
         ww = Wf_win * Wf_win
         w0 = win0.reshape(B * G, ww, Cf)
         w1 = win1.reshape(B * G, ww, Cf)
+        if cfg.fine.fused_train == "auto":
+            fused_ftf = jax.default_backend() not in ("cpu",)
+        else:
+            fused_ftf = cfg.fine.fused_train == "on"
         w0, w1 = LocalFeatureTransformer(
             cfg.fine.d_model, cfg.fine.nhead, cfg.fine.layer_names,
             cfg.fine.attention, dtype, name="fine_transformer",
+            use_fused_train=fused_ftf,
         )(w0, w1)
         w0 = w0.reshape(B, G, ww, Cf)
         w1 = w1.reshape(B, G, ww, Cf)

@@ -145,17 +145,27 @@ class LocalFeatureTransformer(nn.Module):
                 coarse_train_supported,
                 coarse_transformer_train,
             )
+            from featurematching_tpu.ops.pallas_fine_grad import (
+                fine_train_supported,
+                fine_transformer_train,
+            )
 
-            if coarse_train_supported(
-                self.layer_names, self.d_model, self.nhead, feat0.shape[1]
-            ):
+            n_tokens = feat0.shape[1]
+            use_coarse = coarse_train_supported(
+                self.layer_names, self.d_model, self.nhead, n_tokens
+            )
+            use_fine = not use_coarse and fine_train_supported(
+                self.layer_names, self.d_model, self.nhead, n_tokens
+            )
+            if use_coarse or use_fine:
                 tree = {
                     f"layer_{i}": _EncoderLayerParams(
                         self.d_model, name=f"layer_{i}"
                     ).tree()
                     for i in range(len(self.layer_names))
                 }
-                return coarse_transformer_train(
+                fn = coarse_transformer_train if use_coarse else fine_transformer_train
+                return fn(
                     feat0.astype(self.dtype), feat1.astype(self.dtype), tree,
                     tuple(self.layer_names), self.nhead, None,
                     jax.default_backend() == "cpu",  # interpret for CPU tests
