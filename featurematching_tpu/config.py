@@ -96,12 +96,11 @@ class FineMatchConfig:
     layer_names: Tuple[str, ...] = ("self", "cross")
     attention: str = "linear"
     concat_coarse_feat: bool = True
-    # differentiable fused Pallas window transformer (ops/pallas_fine_grad).
-    # Default OFF: the kernel is device-validated (losses track the XLA path)
-    # but the whole-stack reverse sweep's VMEM footprint caps chunks at ~8
-    # windows, making it 74.2 vs 72.4 ms/step — a single-layer-backward
-    # restructure is the known fix (docs/ROADMAP.md round-3 table).
-    fused_train: str = "off"
+    # differentiable fused Pallas window transformer (ops/pallas_fine_grad)
+    # for the training/eval Matcher path: 'auto' (on accelerators), 'on',
+    # 'off'. One backward kernel per encoder layer (the whole-stack variant
+    # exceeded scoped vmem); device A/B 72.0 -> 69.8 ms/step.
+    fused_train: str = "auto"
 
 
 @_frozen

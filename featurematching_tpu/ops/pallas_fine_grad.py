@@ -336,13 +336,14 @@ def _pads(w0, w1, N):
     return w0, w1, Np
 
 
-def _chunk_of(B_, Np, C, chunk):
+def _chunk_of(B_, Np, C, nl, chunk):
     if chunk is None:
-        # measured footprint: the whole-stack replay + reverse sweep holds
-        # ~96 f32 [Np, C] planes per chunk row (43.3M at chunk 32 for the
-        # 2-layer stack vs the 16M scoped-vmem limit) — the compiler keeps
-        # the full per-layer trace live across the reverse sweep
-        chunk = max(1, int(11e6) // (Np * C * 4 * 96))
+        # measured footprint: the replay + reverse sweep holds ~48 f32
+        # [Np, C] planes per chunk row PER LAYER (43.3M at chunk 32 for the
+        # 2-layer whole-stack variant vs the 16M scoped-vmem limit) — the
+        # compiler keeps the full per-layer trace live; the backward runs
+        # one kernel per layer so nl is 1 there
+        chunk = max(1, int(12e6) // (Np * C * 4 * 48 * max(1, nl)))
     chunk = min(chunk, B_)
     while B_ % chunk:
         chunk -= 1
@@ -360,18 +361,23 @@ def _masks(Np, N, C, nhead):
 
 
 def _fwd_impl(w0, w1, tf_params, layer_names, nhead, chunk, interpret):
-    """Forward via the inference fine-stage math (pallas_fine_stage plain
-    mode, mix outputs discarded)."""
+    """Forward as per-layer fused calls (bitwise identical to the whole-stack
+    fused loop — same op sequence), saving each layer's input pair so the
+    backward can run ONE kernel per layer with half the VMEM footprint."""
     from featurematching_tpu.ops.pallas_fine_stage import fine_stage_fused
 
     B_, N, C = w0.shape
     zmix = {"kernel": jnp.zeros((N, 1), jnp.float32),
             "bias": jnp.zeros((1,), jnp.float32)}
-    o0, o1, _, _ = fine_stage_fused(
-        w0, w1, tf_params, zmix, zmix, tuple(layer_names), nhead,
-        chunk=chunk, interpret=interpret,
-    )
-    return (o0, o1), (w0, w1, tf_params)
+    a0, a1 = w0, w1
+    inputs = []
+    for i, name in enumerate(layer_names):
+        inputs.append((a0, a1))
+        a0, a1, _, _ = fine_stage_fused(
+            a0, a1, {"layer_0": tf_params[f"layer_{i}"]}, zmix, zmix,
+            (name,), nhead, chunk=chunk, interpret=interpret,
+        )
+    return (a0, a1), (inputs, tf_params)
 
 
 def _vjp_fwd(w0, w1, tf_params, layer_names, nhead, chunk, interpret):
@@ -379,35 +385,25 @@ def _vjp_fwd(w0, w1, tf_params, layer_names, nhead, chunk, interpret):
     return out, res
 
 
-def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
-    w0, w1, tf_params = res
-    g0, g1 = g
-    B_, N, C = w0.shape
-    dtype = w0.dtype
-    nl = len(layer_names)
-
-    w0p, w1p, Np = _pads(w0, w1, N)
-    g0p, g1p, _ = _pads(g0.astype(dtype), g1.astype(dtype), N)
-    chunk = _chunk_of(B_, Np, C, chunk)
+def _layer_bwd_call(name, x0, x1, d0, d1, wvals, nhead, N, chunk, interpret):
+    """One encoder layer's backward as a single pallas_call (nl=1 kernel)."""
+    B_, _, C = x0.shape
+    dtype = x0.dtype
+    x0p, x1p, Np = _pads(x0, x1, N)
+    d0p, d1p, _ = _pads(d0.astype(dtype), d1.astype(dtype), N)
+    chunk = _chunk_of(B_, Np, C, 1, chunk)
     bm, kvmask = _masks(Np, N, C, nhead)
-
-    layer_vals = []
-    for i in range(nl):
-        layer_vals.extend(_layer_values(tf_params[f"layer_{i}"], dtype))
 
     def spec_of(a):
         nd = a.ndim
         return pl.BlockSpec(a.shape, lambda gidx, _nd=nd: (0,) * _nd)
 
-    wg_shapes = []
-    for i in range(nl):
-        wg_shapes.extend([
-            (C, C), (C, 2 * C), (C, C), (1, C), (1, C),
-            (2 * C, 2 * C), (2 * C, C), (1, C), (1, C),
-        ])
-
+    wg_shapes = [
+        (C, C), (C, 2 * C), (C, C), (1, C), (1, C),
+        (2 * C, 2 * C), (2 * C, C), (1, C), (1, C),
+    ]
     kern = functools.partial(
-        _fine_bwd_kernel, layer_names=tuple(layer_names), n_real=N, C=C
+        _fine_bwd_kernel, layer_names=(name,), n_real=N, C=C
     )
     outs = pl.pallas_call(
         kern,
@@ -418,7 +414,7 @@ def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
             pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0)),
             pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0)),
             spec_of(bm), spec_of(kvmask),
-        ] + [spec_of(a) for a in layer_vals],
+        ] + [spec_of(a) for a in wvals],
         out_specs=tuple(
             [pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0))] * 2
             + [pl.BlockSpec(s, (lambda gi, _nd=len(s): (0,) * _nd)) for s in wg_shapes]
@@ -428,15 +424,30 @@ def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in wg_shapes]
         ),
         interpret=interpret,
-    )(w0p, w1p, g0p, g1p, bm, kvmask, *layer_vals)
+    )(x0p, x1p, d0p, d1p, bm, kvmask, *wvals)
+    return outs[0][:, :N], outs[1][:, :N], outs[2:]
 
-    dw0 = outs[0][:, :N]
-    dw1 = outs[1][:, :N]
-    wgs = outs[2:]
 
+def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
+    inputs, tf_params = res
+    d0, d1 = g
+    N = d0.shape[1]
+    dtype = inputs[0][0].dtype
+    nl = len(layer_names)
+
+    wgs_all = [None] * nl
+    for i in range(nl - 1, -1, -1):
+        wvals = _layer_values(tf_params[f"layer_{i}"], dtype)
+        x0, x1 = inputs[i]
+        d0, d1, wgs_all[i] = _layer_bwd_call(
+            layer_names[i], x0, x1, d0, d1, wvals, nhead, N, chunk, interpret
+        )
+    dw0, dw1 = d0, d1
+
+    C = inputs[0][0].shape[2]
     dptree = {}
     for i in range(nl):
-        dwq, dwkv, dwm, dn1s, dn1b, dw1_, dw2_, dn2s, dn2b = wgs[9 * i : 9 * (i + 1)]
+        dwq, dwkv, dwm, dn1s, dn1b, dw1_, dw2_, dn2s, dn2b = wgs_all[i]
         p = tf_params[f"layer_{i}"]
 
         def like(g_, ref):
