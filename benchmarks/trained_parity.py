@@ -26,6 +26,26 @@ Design notes
 
 Run:  python benchmarks/trained_parity.py [--steps-per-epoch N] [--epochs E]
 Emits JSON results and a markdown table row for BASELINE.md.
+
+Flagship mode (round 3)
+-----------------------
+`--arch flagship` runs the REAL architecture the reference trains
+(/root/reference/config.py:8,22-43): Swin-T U-Net backbone (embed 64,
+depths [2,2,6], window 8), coarse LoFTR d=256 h=8 4x(self,cross) linear
+attention, fine d=64 window 7, sparse focal supervision (the reference Loss
+reads sparse_spvs from MATCH_COARSE, loss.py:15, default True). DropPath is
+zeroed on BOTH sides (it is the only train-time stochasticity and would
+otherwise compare two random draws instead of two frameworks). Because the
+reference side takes hours on torch CPU, the two sides can run in separate
+processes:
+
+  # torch side (CPU, background):
+  python benchmarks/trained_parity.py --arch flagship --scene two_plane \
+      --side ref --state /tmp/init_s7.npz --out ref_s7.json ...
+  # our side (TPU device, production bf16 fused-kernel path):
+  python benchmarks/trained_parity.py --arch flagship --scene two_plane \
+      --side ours --state /tmp/init_s7.npz --ref-json ref_s7.json \
+      --ours-platform device --out flagship_s7.json ...
 """
 
 from __future__ import annotations
@@ -215,6 +235,7 @@ def evaluate_matches(
 # ---------------------------------------------------------------------------
 
 TINY = dict(
+    backbone="resnet",
     initial_dim=32,
     block_dims=(32, 48, 64),
     coarse_d=64,
@@ -223,18 +244,38 @@ TINY = dict(
     fine_d=32,
     fine_heads=4,
     fine_layers=("self", "cross"),
+    sparse_spvs=False,  # round-2 protocol: dense focal
 )
 
+# the architecture the reference actually trains: /root/reference/config.py:8,22-43
+# (Swin defaults: swin_backbone_modify_unetarchecture.py:549-567). sparse_spvs
+# True because the reference Loss reads it from MATCH_COARSE (loss.py:15).
+FLAGSHIP = dict(
+    backbone="swin",
+    coarse_d=256,
+    coarse_heads=8,
+    coarse_layers=("self", "cross") * 4,
+    fine_d=64,
+    fine_heads=8,
+    fine_layers=("self", "cross"),
+    sparse_spvs=True,
+)
 
-def ref_module_config() -> dict:
-    t = TINY
+ARCHS = {"tiny": TINY, "flagship": FLAGSHIP}
+
+
+def ref_module_config(arch: dict) -> dict:
+    t = arch
     return {
-        "backbone_type": "ResNetFPN",
+        "backbone_type": "ResNetFPN" if t["backbone"] == "resnet" else "swin",
         "input_channel": 1,
         "resolution": (8, 2),
         "fine_window_size": 7,
         "fine_concat_coarse_feat": True,
-        "resnetfpn": {"initial_dim": t["initial_dim"], "block_dims": list(t["block_dims"])},
+        "resnetfpn": {
+            "initial_dim": t.get("initial_dim", 128),
+            "block_dims": list(t.get("block_dims", (128, 196, 256))),
+        },
         "coarse": {
             "d_model": t["coarse_d"],
             "nhead": t["coarse_heads"],
@@ -248,7 +289,7 @@ def ref_module_config() -> dict:
             "dsmax_temperature": 0.1,
             "train_coarse_percent": 1.0,
             "train_pad_num_gt_min": 200,
-            "sparse_spvs": False,
+            "sparse_spvs": t["sparse_spvs"],
         },
         "fine": {
             "d_model": t["fine_d"],
@@ -260,7 +301,7 @@ def ref_module_config() -> dict:
         "loss": {
             "coarse_type": "focal",
             "coarse_weight": 1.0,
-            "sparse_spvs": False,
+            "sparse_spvs": t["sparse_spvs"],
             "focal_alpha": 0.25,
             "focal_gamma": 2.0,
             "pos_weight": 1.0,
@@ -289,7 +330,7 @@ def ref_batch(pair: dict, torch) -> dict:
     }
 
 
-def run_reference(pairs, n_train, order, lr, seed):
+def run_reference(pairs, n_train, order, lr, seed, arch=TINY):
     """Train + evaluate the reference. Returns (metrics, losses, init_sd)."""
     import torch
 
@@ -300,9 +341,15 @@ def run_reference(pairs, n_train, order, lr, seed):
     sup_mod = load_ref_module("network/utils/supervision_new.py")
     loss_mod = load_ref_module("losses/loss.py")
 
-    mcfg = ref_module_config()
+    mcfg = ref_module_config(arch)
     torch.manual_seed(seed)
     matcher = net_mod.net(mcfg)
+    # controlled experiment: DropPath is the only train-time stochasticity in
+    # the Swin flagship (reference default drop_path_rate=0.2, swin_…py:563)
+    # — zero it on BOTH sides so frameworks are compared, not random draws
+    for m in matcher.modules():
+        if type(m).__name__ == "DropPath":
+            m.drop_prob = 0.0
     loss_fn = loss_mod.Loss({"module": mcfg})
     init_sd = sd_numpy(matcher)
 
@@ -318,15 +365,24 @@ def run_reference(pairs, n_train, order, lr, seed):
         loss_fn(data)
         return data
 
+    torch.set_num_threads(3)  # leave a host core free (4-core box)
     losses = []
     matcher.train()
     loss_fn.train()
-    for idx in order:
+    t0 = time.time()
+    for n, idx in enumerate(order):
         data = trainval(pairs[idx], train=True)
         opt.zero_grad()
         data["loss"].backward()
         opt.step()
         losses.append(float(data["loss"].detach()))
+        if n % 50 == 0 or n == len(order) - 1:
+            print(
+                f"[ref] step {n + 1}/{len(order)} loss={losses[-1]:.4f} "
+                f"({time.time() - t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
 
     matcher.eval()
     loss_fn.eval()
@@ -344,22 +400,32 @@ def run_reference(pairs, n_train, order, lr, seed):
 # our side (jax CPU, same init / data / optimizer)
 # ---------------------------------------------------------------------------
 
-def our_config():
+def our_config(arch=TINY, dtype="float32"):
     import dataclasses as dc
 
     from featurematching_tpu.config import Config
 
-    t = TINY
+    t = arch
     cfg = Config()
+    backbone_kw = (
+        dict(
+            backbone_type="resnet_fpn",
+            resnet_fpn=dc.replace(
+                cfg.model.resnet_fpn,
+                initial_dim=t["initial_dim"],
+                block_dims=tuple(t["block_dims"]),
+            ),
+        )
+        if t["backbone"] == "resnet"
+        else dict(
+            backbone_type="swin_v1",
+            # droppath zeroed on both sides — see run_reference
+            swin=dc.replace(cfg.model.swin, drop_path_rate=0.0),
+        )
+    )
     m = dc.replace(
         cfg.model,
-        backbone_type="resnet_fpn",
         input_channels=1,
-        resnet_fpn=dc.replace(
-            cfg.model.resnet_fpn,
-            initial_dim=t["initial_dim"],
-            block_dims=tuple(t["block_dims"]),
-        ),
         coarse=dc.replace(
             cfg.model.coarse,
             d_model=t["coarse_d"],
@@ -375,12 +441,15 @@ def our_config():
             attention="linear",
         ),
         match_coarse=dc.replace(
-            cfg.model.match_coarse, max_matches=256, max_gt_matches=NUM_GT
+            cfg.model.match_coarse,
+            max_matches=256 if t["backbone"] == "resnet" else 1024,
+            max_gt_matches=NUM_GT,
         ),
-        loss=dc.replace(cfg.model.loss, sparse_spvs=False),
+        loss=dc.replace(cfg.model.loss, sparse_spvs=t["sparse_spvs"]),
         pose=dc.replace(cfg.model.pose, flag="none"),
-        compute_dtype="float32",
+        compute_dtype=dtype,
         positional_encoding=False,  # reference net.py:66-70 comments PE out
+        **backbone_kw,
     )
     return dc.replace(cfg, model=m)
 
@@ -404,7 +473,7 @@ def our_batch(pair: dict) -> Dict[str, np.ndarray]:
     }
 
 
-def run_ours(pairs, n_train, order, lr, init_sd):
+def run_ours(pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -417,15 +486,15 @@ def run_ours(pairs, n_train, order, lr, init_sd):
     )
     from featurematching_tpu.utils.torch_convert import convert_matcher
 
-    cfg = our_config()
+    cfg = our_config(arch, dtype)
     model = Matcher(cfg.model)
     sample = our_batch(pairs[0])
 
     # same initial weights as the reference run
     params, stats = convert_matcher(
         init_sd,
-        coarse_layers=len(TINY["coarse_layers"]),
-        fine_layers=len(TINY["fine_layers"]),
+        coarse_layers=len(arch["coarse_layers"]),
+        fine_layers=len(arch["fine_layers"]),
     )
     # structural sanity vs a fresh init — loud failure over silent drift
     ref_vars = jax.eval_shape(
@@ -450,12 +519,23 @@ def run_ours(pairs, n_train, order, lr, init_sd):
 
     train_step = jax.jit(make_train_step(model, cfg))
     eval_step = jax.jit(make_eval_step(model, cfg))
-    rng = jax.random.PRNGKey(0)  # no droppath in ResNetFPN — unused
+    rng = jax.random.PRNGKey(0)  # droppath zeroed (run_reference) — unused
 
+    # the fixture is small: stage every distinct train batch on device ONCE
+    # (the axon tunnel uploads at ~15 MB/s — per-step uploads would dominate)
+    staged = [jax.device_put(our_batch(p)) for p in pairs[:n_train]]
     losses = []
-    for idx in order:
-        state, metrics = train_step(state, our_batch(pairs[idx]), rng)
+    t0 = time.time()
+    for n, idx in enumerate(order):
+        state, metrics = train_step(state, staged[idx], rng)
         losses.append(float(metrics["loss"]))
+        if n % 50 == 0 or n == len(order) - 1:
+            print(
+                f"[ours] step {n + 1}/{len(order)} loss={losses[-1]:.4f} "
+                f"({time.time() - t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
 
     per_pair = []
     for pair in pairs[n_train:]:
@@ -471,25 +551,71 @@ def run_ours(pairs, n_train, order, lr, init_sd):
 # driver
 # ---------------------------------------------------------------------------
 
-def main():
-    # force jax onto host CPU before first backend use: the axon TPU tunnel is
-    # single-tenant and this experiment must not contend with device benches
-    import jax
+def _print_table(result):
+    keys = ["auc@5", "auc@10", "auc@20", "prec@5e-04", "n_matches", "final_loss"]
+    print("\n| framework | " + " | ".join(keys) + " |")
+    print("|---|" + "---|" * len(keys))
+    for name in ("reference", "ours"):
+        if name not in result:
+            continue
+        row = result[name]
+        print(f"| {name} | " + " | ".join(f"{row[k]:.4f}" for k in keys) + " |")
 
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+
+def main():
+    global H, W, NUM_GT
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", choices=tuple(ARCHS), default="tiny")
+    ap.add_argument("--size", type=int, nargs=2, default=None, help="H W")
+    ap.add_argument("--num-gt", type=int, default=None)
     ap.add_argument("--train-pairs", type=int, default=48)
     ap.add_argument("--val-pairs", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--lr", type=float, default=4e-4)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--scene", choices=("plane", "two_plane"), default="plane")
+    ap.add_argument("--sparse", choices=("arch", "on", "off"), default="arch",
+                    help="override the arch's sparse_spvs (diagnostics)")
+    ap.add_argument("--side", choices=("both", "ref", "ours"), default="both")
+    ap.add_argument("--state", default="", help="npz path for the shared torch init")
+    ap.add_argument("--ref-json", default="", help="--side ours: merge this ref result")
+    ap.add_argument("--ours-platform", choices=("cpu", "device"), default="cpu")
+    ap.add_argument("--ours-dtype", choices=("auto", "float32", "bfloat16"), default="auto")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+
+    arch = dict(ARCHS[args.arch])
+    if args.sparse != "arch":
+        arch["sparse_spvs"] = args.sparse == "on"
+    if args.size:
+        H, W = args.size
+    elif args.arch == "flagship":
+        H, W = 256, 320
+    NUM_GT = args.num_gt or (512 if args.arch == "flagship" else 160)
+    dtype = args.ours_dtype
+    if dtype == "auto":
+        dtype = "bfloat16" if args.ours_platform == "device" else "float32"
+
+    import jax
+
+    if args.ours_platform == "cpu":
+        # force jax onto host CPU before first backend use: the axon TPU tunnel
+        # is single-tenant and this mode must not contend with device benches
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    else:
+        # production TPU path: persistent compile cache (first Mosaic compiles
+        # over the tunnel take minutes; cached reruns are seconds)
+        cache_dir = os.path.expanduser("~/.cache/fmtpu_jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     pairs = make_fixture(args.seed, args.train_pairs, args.val_pairs, args.scene)
     rng = np.random.default_rng(args.seed + 1)
@@ -497,31 +623,43 @@ def main():
         [rng.permutation(args.train_pairs) for _ in range(args.epochs)]
     )
 
-    t0 = time.time()
-    ref_metrics, ref_losses, init_sd = run_reference(
-        pairs, args.train_pairs, order, args.lr, seed=args.seed
-    )
-    t_ref = time.time() - t0
+    result = {"config": vars(args), "steps": len(order)}
 
-    t0 = time.time()
-    our_metrics, our_losses = run_ours(pairs, args.train_pairs, order, args.lr, init_sd)
-    t_ours = time.time() - t0
+    if args.side in ("both", "ref"):
+        t0 = time.time()
+        ref_metrics, ref_losses, init_sd = run_reference(
+            pairs, args.train_pairs, order, args.lr, seed=args.seed, arch=arch
+        )
+        result["reference"] = {
+            **ref_metrics,
+            "final_loss": float(np.mean(ref_losses[-8:])),
+            "train_s": time.time() - t0,
+        }
+        result["loss_curve_ref"] = ref_losses
+        if args.state:
+            np.savez_compressed(args.state, **init_sd)
+    else:
+        init_sd = dict(np.load(args.state))
+        if args.ref_json:
+            with open(args.ref_json) as f:
+                prev = json.load(f)
+            result["reference"] = prev["reference"]
+            result["loss_curve_ref"] = prev.get("loss_curve_ref", [])
 
-    result = {
-        "config": vars(args),
-        "steps": len(order),
-        "reference": {**ref_metrics, "final_loss": float(np.mean(ref_losses[-8:])), "train_s": t_ref},
-        "ours": {**our_metrics, "final_loss": float(np.mean(our_losses[-8:])), "train_s": t_ours},
-        "loss_curve_ref": ref_losses,
-        "loss_curve_ours": our_losses,
-    }
+    if args.side in ("both", "ours"):
+        t0 = time.time()
+        our_metrics, our_losses = run_ours(
+            pairs, args.train_pairs, order, args.lr, init_sd, arch=arch, dtype=dtype
+        )
+        result["ours"] = {
+            **our_metrics,
+            "final_loss": float(np.mean(our_losses[-8:])),
+            "train_s": time.time() - t0,
+        }
+        result["loss_curve_ours"] = our_losses
+
     print(json.dumps({k: v for k, v in result.items() if not k.startswith("loss_curve")}, indent=2))
-    keys = ["auc@5", "auc@10", "auc@20", "prec@5e-04", "n_matches", "final_loss"]
-    print("\n| framework | " + " | ".join(keys) + " |")
-    print("|---|" + "---|" * len(keys))
-    for name in ("reference", "ours"):
-        row = result[name]
-        print(f"| {name} | " + " | ".join(f"{row[k]:.4f}" for k in keys) + " |")
+    _print_table(result)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=2)

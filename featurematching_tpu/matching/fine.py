@@ -14,6 +14,7 @@ models/matcher.py; this module is the pure index/math layer.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -216,8 +217,8 @@ def _gather_bwd_fold(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g):
 # The per-tap scatter is device-efficient but dispatch-heavy (B*K*W*W row
 # descriptors) — it degrades badly when the host is loaded; the fold trades
 # ~2 ms of dense-grid HBM traffic for dispatch-independence. Default to the
-# quiet-host winner; flip GATHER_BWD_MODE to "fold" on dispatch-bound hosts.
-GATHER_BWD_MODE = "tap"
+# quiet-host winner; set FMTPU_GATHER_BWD=fold (env) on dispatch-bound hosts.
+GATHER_BWD_MODE = os.environ.get("FMTPU_GATHER_BWD", "tap")
 
 
 def _gather_bwd(grid_c, window, stride, res, g):

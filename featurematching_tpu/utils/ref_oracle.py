@@ -135,4 +135,8 @@ def load_ref_module(relpath: str):
 
 
 def sd_numpy(module) -> dict:
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+    # .numpy() on a CPU tensor ALIASES the parameter storage — in-place
+    # optimizer updates would silently mutate the snapshot. Copy.
+    return {
+        k: v.detach().cpu().numpy().copy() for k, v in module.state_dict().items()
+    }
