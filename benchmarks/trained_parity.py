@@ -330,8 +330,11 @@ def ref_batch(pair: dict, torch) -> dict:
     }
 
 
-def run_reference(pairs, n_train, order, lr, seed, arch=TINY):
-    """Train + evaluate the reference. Returns (metrics, losses, init_sd)."""
+def run_reference(pairs, n_train, order, lr, seed, arch=TINY, state_path=""):
+    """Train + evaluate the reference. Returns (metrics, losses, init_sd).
+
+    If state_path is given, the shared init is saved BEFORE training starts,
+    so the ours-side process can train in parallel from the same weights."""
     import torch
 
     from featurematching_tpu.utils.ref_oracle import load_ref_module, sd_numpy
@@ -352,6 +355,9 @@ def run_reference(pairs, n_train, order, lr, seed, arch=TINY):
             m.drop_prob = 0.0
     loss_fn = loss_mod.Loss({"module": mcfg})
     init_sd = sd_numpy(matcher)
+    if state_path:
+        np.savez_compressed(state_path, **init_sd)
+        print(f"[ref] shared init saved to {state_path}", file=sys.stderr, flush=True)
 
     sup_cfg = {"MODULE": {"RESOLUTION": (8, 2)}}
     opt = torch.optim.Adam(matcher.parameters(), lr=lr)
@@ -628,7 +634,8 @@ def main():
     if args.side in ("both", "ref"):
         t0 = time.time()
         ref_metrics, ref_losses, init_sd = run_reference(
-            pairs, args.train_pairs, order, args.lr, seed=args.seed, arch=arch
+            pairs, args.train_pairs, order, args.lr, seed=args.seed, arch=arch,
+            state_path=args.state,
         )
         result["reference"] = {
             **ref_metrics,
@@ -636,8 +643,6 @@ def main():
             "train_s": time.time() - t0,
         }
         result["loss_curve_ref"] = ref_losses
-        if args.state:
-            np.savez_compressed(args.state, **init_sd)
     else:
         init_sd = dict(np.load(args.state))
         if args.ref_json:

@@ -211,6 +211,9 @@ class TrainerConfig:
     # sampler (reference: config.py:140-149)
     data_sampler: str = "normal"
     n_samples_per_subset: int = 200
+    # error-colored match figures dumped per val epoch (reference
+    # lightning_new.py:277-312 via utils/plotting.py:107-128); 0 disables
+    val_plot_pairs: int = 3
 
 
 @_frozen

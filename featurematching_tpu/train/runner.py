@@ -180,17 +180,19 @@ class Runner:
                 "mask": out.coarse.mask,
                 "R_errs": pose["R_errs"].astype(jnp.float32),
                 "t_errs": pose["t_errs"].astype(jnp.float32),
+                # match keypoints ride along for val-time figure dumps
+                # (small: [B, K, 2] f32; fetched for the first batch only)
+                "mkpts0": out.fine.mkpts0_f[..., :2].astype(jnp.float32),
+                "mkpts1": out.fine.mkpts1_f[..., :2].astype(jnp.float32),
             }
             return losses.loss, per_pair
 
+        keys = ("epi", "mask", "R_errs", "t_errs", "mkpts0", "mkpts1")
         return jax.jit(
             val_step,
             out_shardings=(
                 replicated(self.mesh),
-                jax.tree.map(
-                    lambda _: batch_sharding(self.mesh),
-                    {"epi": 0, "mask": 0, "R_errs": 0, "t_errs": 0},
-                ),
+                {k: batch_sharding(self.mesh) for k in keys},
             ),
         )
 
@@ -262,6 +264,7 @@ class Runner:
         decision.
         """
         ids_l, R_l, t_l, epi_l, mask_l, losses = [], [], [], [], [], []
+        fig_src = None  # (host batch, local per-pair rows) of the first batch
         key = jax.random.PRNGKey(0)
         nb = self._global_batch_count(len(self.val_loader), "max")
         it = iter(self.val_loader.epoch(0))
@@ -290,6 +293,14 @@ class Runner:
             mask_l.append(np.asarray(local["mask"], bool))
             R_l.append(np.asarray(local["R_errs"], np.float32))
             t_l.append(np.asarray(local["t_errs"], np.float32))
+            if fig_src is None and self.cfg.trainer.val_plot_pairs > 0:
+                fig_src = (
+                    batch,
+                    np.asarray(local["mkpts0"], np.float32),
+                    np.asarray(local["mkpts1"], np.float32),
+                    epi_l[-1],
+                    mask_l[-1],
+                )
 
         def cat(chunks, dtype, ncol=None):
             if chunks:
@@ -323,11 +334,40 @@ class Runner:
         self.writer.write(step, {f"val/{k}": v for k, v in results.items()})
         self.log.info(f"val epoch {epoch}: {results}")
 
+        if fig_src is not None:
+            self._dump_val_figures(epoch, fig_src)
+
         mean_auc = float(
             np.mean([results.get(f"auc@{t}", 0.0) for t in (5, 10, 20)])
         )
+        self._maybe_checkpoint(step, mean_auc)
+        return results
+
+    def _maybe_checkpoint(self, step: int, mean_auc: float) -> None:
         if mean_auc >= self.best_auc:
             self.best_auc = mean_auc
             # async: checkpoint IO overlaps the next training steps
             self.ckpt.save(step, jax.device_get(self.state), wait=False)
-        return results
+
+    def _dump_val_figures(self, epoch: int, fig_src) -> None:
+        """Error-colored match figures for the first k val pairs
+        (reference lightning_new.py:277-312, utils/plotting.py:107-128)."""
+        from featurematching_tpu.utils.plotting import make_evaluation_figure
+
+        batch, mk0, mk1, epi, mask = fig_src
+        figdir = os.path.join(self.workdir, "figures")
+        os.makedirs(figdir, exist_ok=True)
+        img0 = np.asarray(batch["image0"], np.float32)
+        img1 = np.asarray(batch["image1"], np.float32)
+        n = min(self.cfg.trainer.val_plot_pairs, img0.shape[0], mk0.shape[0])
+        thr = self.cfg.trainer.ransac.epi_err_thr
+        for i in range(n):
+            m = mask[i]
+            a0 = img0[i, ..., 0] if img0.shape[-1] == 1 else img0[i]
+            a1 = img1[i, ..., 0] if img1.shape[-1] == 1 else img1[i]
+            make_evaluation_figure(
+                a0, a1, mk0[i][m], mk1[i][m], epi[i][m], thr,
+                path=os.path.join(
+                    figdir, f"epoch{epoch:03d}_host{jax.process_index()}_pair{i}.png"
+                ),
+            )

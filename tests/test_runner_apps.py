@@ -62,6 +62,13 @@ class TestRunner:
         # metrics jsonl written
         assert os.path.exists(os.path.join(workdir, "logs", "metrics.jsonl"))
 
+        # val-time error-colored match figures dumped
+        # (reference lightning_new.py:277-312)
+        import glob
+
+        figs = glob.glob(os.path.join(workdir, "figures", "epoch*_pair*.png"))
+        assert len(figs) >= 1
+
 
 class TestAsyncCheckpoint:
     def test_async_save_commits_and_restores(self, tmp_path):
