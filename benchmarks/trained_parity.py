@@ -406,13 +406,16 @@ def run_reference(pairs, n_train, order, lr, seed, arch=TINY, state_path=""):
 # our side (jax CPU, same init / data / optimizer)
 # ---------------------------------------------------------------------------
 
-def our_config(arch=TINY, dtype="float32"):
+def our_config(arch=TINY, dtype="float32", fused="auto"):
     import dataclasses as dc
 
     from featurematching_tpu.config import Config
 
     t = arch
     cfg = Config()
+    swin_kw = dict(drop_path_rate=0.0)  # droppath zeroed on both sides
+    if fused != "auto":
+        swin_kw.update(fused_block=fused, fused_attention=fused)
     backbone_kw = (
         dict(
             backbone_type="resnet_fpn",
@@ -425,8 +428,7 @@ def our_config(arch=TINY, dtype="float32"):
         if t["backbone"] == "resnet"
         else dict(
             backbone_type="swin_v1",
-            # droppath zeroed on both sides — see run_reference
-            swin=dc.replace(cfg.model.swin, drop_path_rate=0.0),
+            swin=dc.replace(cfg.model.swin, **swin_kw),
         )
     )
     m = dc.replace(
@@ -438,6 +440,7 @@ def our_config(arch=TINY, dtype="float32"):
             nhead=t["coarse_heads"],
             layer_names=tuple(t["coarse_layers"]),
             attention="linear",
+            **({} if fused == "auto" else dict(fused_train=fused)),
         ),
         fine=dc.replace(
             cfg.model.fine,
@@ -445,6 +448,7 @@ def our_config(arch=TINY, dtype="float32"):
             nhead=t["fine_heads"],
             layer_names=tuple(t["fine_layers"]),
             attention="linear",
+            **({} if fused == "auto" else dict(fused_train=fused)),
         ),
         match_coarse=dc.replace(
             cfg.model.match_coarse,
@@ -479,7 +483,7 @@ def our_batch(pair: dict) -> Dict[str, np.ndarray]:
     }
 
 
-def run_ours(pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32"):
+def run_ours(pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32", fused="auto"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -492,7 +496,7 @@ def run_ours(pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32"):
     )
     from featurematching_tpu.utils.torch_convert import convert_matcher
 
-    cfg = our_config(arch, dtype)
+    cfg = our_config(arch, dtype, fused)
     model = Matcher(cfg.model)
     sample = our_batch(pairs[0])
 
@@ -588,6 +592,8 @@ def main():
     ap.add_argument("--ref-json", default="", help="--side ours: merge this ref result")
     ap.add_argument("--ours-platform", choices=("cpu", "device"), default="cpu")
     ap.add_argument("--ours-dtype", choices=("auto", "float32", "bfloat16"), default="auto")
+    ap.add_argument("--ours-fused", choices=("auto", "on", "off"), default="auto",
+                    help="force the fused Pallas train kernels on/off (NaN isolation)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -654,7 +660,8 @@ def main():
     if args.side in ("both", "ours"):
         t0 = time.time()
         our_metrics, our_losses = run_ours(
-            pairs, args.train_pairs, order, args.lr, init_sd, arch=arch, dtype=dtype
+            pairs, args.train_pairs, order, args.lr, init_sd, arch=arch,
+            dtype=dtype, fused=args.ours_fused,
         )
         result["ours"] = {
             **our_metrics,

@@ -54,12 +54,27 @@ def cmd_sift(args) -> int:
 
 
 def cmd_matches(args) -> int:
-    _, stems = _frames(args.root, args.layout)
+    paths, stems = _frames(args.root, args.layout)
     pairs = enumerate_pairs(len(stems), tuple(args.gaps))
     pair_stems = [(stems[p.idx0], stems[p.idx1]) for p in pairs]
     sift_dir = os.path.join(args.root, _LAYOUTS[args.layout][1])
     out = os.path.join(args.root, _LAYOUTS[args.layout][2])
-    counts = build_match_cache(sift_dir, pair_stems, out, args.ransac_thresh)
+    deep_fn = None
+    image_paths = None
+    if args.source == "union":
+        # frozen-teacher deep matches unioned with SIFT before RANSAC — the
+        # reference's Unity mixed-keypoint recipe (unity_data.py:215-235) with
+        # the coarse-only teacher of lightning_new.py:200-211 as the deep source
+        from featurematching_tpu.data.teacher import deep_match_paths, make_teacher_fn
+
+        deep_fn = deep_match_paths(
+            make_teacher_fn(ckpt=args.teacher_ckpt or None, thr=args.teacher_thr)
+        )
+        image_paths = dict(zip(stems, paths))
+    counts = build_match_cache(
+        sift_dir, pair_stems, out, args.ransac_thresh,
+        deep_fn=deep_fn, image_paths=image_paths,
+    )
     kept = sum(1 for c in counts.values() if c >= args.min_inliers)
     print(
         f"wrote {len(counts)} match caches to {out}; "
@@ -124,6 +139,16 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--ransac-thresh", type=float, default=5.0)
     sp.add_argument("--min-inliers", type=int, default=250)
+    sp.add_argument(
+        "--source", choices=("sift", "union"), default="sift",
+        help="'union' adds frozen-teacher deep matches before RANSAC "
+        "(reference unity_data.py:215-235 mixed-keypoint recipe)",
+    )
+    sp.add_argument("--teacher-ckpt", default="",
+                    help="official-LoFTR .ckpt for the frozen teacher "
+                    "(lightning_new.py:200-211); random init if omitted")
+    sp.add_argument("--teacher-thr", type=float, default=None,
+                    help="override the teacher's coarse confidence threshold")
     sp.set_defaults(fn=cmd_matches)
 
     sp = sub.add_parser("native")

@@ -112,14 +112,23 @@ def pseudo_gt_for_pair(
     kp1: np.ndarray,
     desc1: np.ndarray,
     ransac_thresh: float = 5.0,
+    extra: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """MNN + homography RANSAC -> inlier keypoint pairs ([M, 2], [M, 2])."""
+    """MNN (+ optional deep matches) + homography RANSAC -> inlier pairs.
+
+    `extra` is a second match source unioned with the SIFT-MNN matches
+    BEFORE the RANSAC filter — the reference's mixed-keypoint recipe for
+    Unity pseudo-GT (unity_data.py:215-235: SIFT-smnn ∪ DISK deep matches,
+    one homography RANSAC over the union)."""
     m = match_mnn(desc0, desc1)
-    if len(m) == 0:
+    p0 = kp0[m[:, 0]] if len(m) else np.zeros((0, 2), np.float32)
+    p1 = kp1[m[:, 1]] if len(m) else np.zeros((0, 2), np.float32)
+    if extra is not None and len(extra[0]):
+        p0 = np.concatenate([p0, np.asarray(extra[0], np.float32)], axis=0)
+        p1 = np.concatenate([p1, np.asarray(extra[1], np.float32)], axis=0)
+    if len(p0) == 0:
         z = np.zeros((0, 2), np.float32)
         return z, z
-    p0 = kp0[m[:, 0]]
-    p1 = kp1[m[:, 1]]
     inl = ransac_homography_inliers(p0, p1, ransac_thresh)
     return p0[inl], p1[inl]
 
@@ -129,9 +138,15 @@ def build_match_cache(
     pairs: List[Tuple[str, str]],
     out_dir: str,
     ransac_thresh: float = 5.0,
+    deep_fn=None,
+    image_paths: Optional[Dict[str, str]] = None,
 ) -> Dict[str, int]:
     """For each (stem0, stem1) pair, write `matches/<stem0>__<stem1>.npz`
-    with the inlier pseudo-GT keypoints. Returns per-pair inlier counts."""
+    with the inlier pseudo-GT keypoints. Returns per-pair inlier counts.
+
+    deep_fn(path0, path1) -> (kp0, kp1): optional second match source (a
+    frozen teacher, see data/teacher.py) unioned with SIFT before RANSAC;
+    requires `image_paths` mapping stem -> image file."""
     os.makedirs(out_dir, exist_ok=True)
     counts = {}
     cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
@@ -144,7 +159,12 @@ def build_match_cache(
     for stem0, stem1 in pairs:
         kp0, d0 = get(stem0)
         kp1, d1 = get(stem1)
-        p0, p1 = pseudo_gt_for_pair(kp0, d0, kp1, d1, ransac_thresh)
+        extra = None
+        if deep_fn is not None:
+            if image_paths is None:
+                raise ValueError("deep_fn requires image_paths")
+            extra = deep_fn(image_paths[stem0], image_paths[stem1])
+        p0, p1 = pseudo_gt_for_pair(kp0, d0, kp1, d1, ransac_thresh, extra)
         name = f"{stem0}__{stem1}.npz"
         np.savez(os.path.join(out_dir, name), kp0=p0, kp1=p1)
         counts[name] = len(p0)
