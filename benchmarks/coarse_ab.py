@@ -94,6 +94,27 @@ def main() -> None:
             r1.astype(jnp.float32) ** 2
         )
 
+    # device-mode numerical check of the fused backward (the interpret-mode
+    # tests only cover f32 on XLA:CPU; this validates the bf16 flash-style
+    # recompute path on real hardware before trusting its timings)
+    gf = jax.jit(jax.grad(loss_flax))(params, f0, f1)
+    gp = jax.jit(jax.grad(loss_fused))(params, f0, f1)
+    worst_rel, worst_name = 0.0, ""
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gf),
+        jax.tree_util.tree_leaves_with_path(gp),
+    ):
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        scale = float(jnp.max(jnp.abs(a32))) + 1e-6
+        rel = float(jnp.max(jnp.abs(a32 - b32))) / scale
+        if rel > worst_rel:
+            worst_rel, worst_name = rel, jax.tree_util.keystr(path)
+    print(f"grad max scaled |diff|: {worst_rel:.4f} at {worst_name}")
+    assert worst_rel < 0.05, (
+        f"fused backward diverges from flax autodiff: {worst_rel:.4f} "
+        f"at {worst_name}"
+    )
+
     def bench_grad(loss, iters=15):
         g = jax.jit(jax.grad(loss))
         r = g(params, f0, f1)

@@ -371,7 +371,8 @@ def run_reference(pairs, n_train, order, lr, seed, arch=TINY, state_path=""):
         loss_fn(data)
         return data
 
-    torch.set_num_threads(3)  # leave a host core free (4-core box)
+    # leave host cores free (4-core box); 2 lets two ref seeds run concurrently
+    torch.set_num_threads(int(os.environ.get("FMTPU_REF_THREADS", "3")))
     losses = []
     matcher.train()
     loss_fn.train()
