@@ -261,7 +261,23 @@ FLAGSHIP = dict(
     sparse_spvs=True,
 )
 
-ARCHS = {"tiny": TINY, "flagship": FLAGSHIP}
+# diagnostic hybrid: ResNet backbone + the flagship-depth coarse stack —
+# separates "Swin-UNet is hard to train at bs=1" from "the 8-layer post-norm
+# coarse transformer is hard to train at bs=1"
+RESNET_FLAGSHIP = dict(
+    backbone="resnet",
+    initial_dim=128,
+    block_dims=(128, 196, 256),
+    coarse_d=256,
+    coarse_heads=8,
+    coarse_layers=("self", "cross") * 4,
+    fine_d=128,
+    fine_heads=8,
+    fine_layers=("self", "cross"),
+    sparse_spvs=True,
+)
+
+ARCHS = {"tiny": TINY, "flagship": FLAGSHIP, "resnet_flagship": RESNET_FLAGSHIP}
 
 
 def ref_module_config(arch: dict) -> dict:
@@ -330,7 +346,9 @@ def ref_batch(pair: dict, torch) -> dict:
     }
 
 
-def run_reference(pairs, n_train, order, lr, seed, arch=TINY, state_path=""):
+def run_reference(
+    pairs, n_train, order, lr, seed, arch=TINY, state_path="", warmup=0, clip=0.0
+):
     """Train + evaluate the reference. Returns (metrics, losses, init_sd).
 
     If state_path is given, the shared init is saved BEFORE training starts,
@@ -378,9 +396,17 @@ def run_reference(pairs, n_train, order, lr, seed, arch=TINY, state_path=""):
     loss_fn.train()
     t0 = time.time()
     for n, idx in enumerate(order):
+        if warmup:
+            # linear warmup, mirrored exactly on the ours side (the reference's
+            # own recipe warms up for 4800 steps, lightning_new.py:320-339)
+            for g in opt.param_groups:
+                g["lr"] = lr * min(1.0, (n + 1) / warmup)
         data = trainval(pairs[idx], train=True)
         opt.zero_grad()
         data["loss"].backward()
+        if clip:
+            # the reference trainer's own grad clip (config.py:152)
+            torch.nn.utils.clip_grad_norm_(matcher.parameters(), clip)
         opt.step()
         losses.append(float(data["loss"].detach()))
         if n % 50 == 0 or n == len(order) - 1:
@@ -484,7 +510,10 @@ def our_batch(pair: dict) -> Dict[str, np.ndarray]:
     }
 
 
-def run_ours(pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32", fused="auto"):
+def run_ours(
+    pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32", fused="auto",
+    warmup=0, clip=0.0,
+):
     import jax
     import jax.numpy as jnp
     import optax
@@ -517,7 +546,14 @@ def run_ours(pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32", fus
     ref_n = len(jax.tree_util.tree_leaves(ref_vars["params"]))
     assert got_n == ref_n, f"converted params leaves {got_n} != init {ref_n}"
 
-    tx = optax.adam(lr)
+    if warmup:
+        # same linear warmup as the ref side: lr_n = lr * min(1, (n+1)/warmup)
+        # (optax schedules see count=0 on the first update)
+        tx = optax.adam(lambda count: lr * jnp.minimum(1.0, (count + 1) / warmup))
+    else:
+        tx = optax.adam(lr)
+    if clip:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     params = jax.tree.map(jnp.asarray, params)
     stats = jax.tree.map(jnp.asarray, stats)
     state = TrainState(
@@ -584,6 +620,11 @@ def main():
     ap.add_argument("--val-pairs", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear lr warmup steps, mirrored on both sides")
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global grad-norm clip, mirrored on both sides "
+                         "(the reference trainer uses 0.5, config.py:152)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--scene", choices=("plane", "two_plane"), default="plane")
     ap.add_argument("--sparse", choices=("arch", "on", "off"), default="arch",
@@ -632,8 +673,12 @@ def main():
 
     pairs = make_fixture(args.seed, args.train_pairs, args.val_pairs, args.scene)
     rng = np.random.default_rng(args.seed + 1)
-    order = np.concatenate(
-        [rng.permutation(args.train_pairs) for _ in range(args.epochs)]
+    order = (
+        np.concatenate(
+            [rng.permutation(args.train_pairs) for _ in range(args.epochs)]
+        )
+        if args.epochs
+        else np.zeros((0,), np.int64)  # --epochs 0: init-save/eval-only run
     )
 
     result = {"config": vars(args), "steps": len(order)}
@@ -642,7 +687,7 @@ def main():
         t0 = time.time()
         ref_metrics, ref_losses, init_sd = run_reference(
             pairs, args.train_pairs, order, args.lr, seed=args.seed, arch=arch,
-            state_path=args.state,
+            state_path=args.state, warmup=args.warmup, clip=args.clip,
         )
         result["reference"] = {
             **ref_metrics,
@@ -662,7 +707,8 @@ def main():
         t0 = time.time()
         our_metrics, our_losses = run_ours(
             pairs, args.train_pairs, order, args.lr, init_sd, arch=arch,
-            dtype=dtype, fused=args.ours_fused,
+            dtype=dtype, fused=args.ours_fused, warmup=args.warmup,
+            clip=args.clip,
         )
         result["ours"] = {
             **our_metrics,
