@@ -23,4 +23,5 @@ __version__ = "0.1.0"
 from featurematching_tpu.config import (  # noqa: F401
     Config,
     default_config,
+    highres_eval_config,
 )

@@ -30,7 +30,13 @@ def evaluate_dataset(
     image_size=(640, 480),
     thr: float = 0.2,
     num_hypotheses: int = 512,
+    model_shard: int = 1,
 ):
+    """model_shard > 1: run the coarse correlation sequence-parallel over a
+    ('data', 'model') mesh (n_model=model_shard) — the high-resolution serving
+    mode where the [L, S] correlation volume is S-sharded across chips
+    (config.highres_eval_config, ops/sharded_matching.py). Requires
+    jax.device_count() >= model_shard."""
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +68,16 @@ def evaluate_dataset(
 
         variables = load_matcher_variables(ckpt)
 
-    if mcfg.backbone_type == "swin_v1" and jax.default_backend() != "cpu":
+    mesh = None
+    if model_shard > 1:
+        from featurematching_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            n_data=max(1, jax.device_count() // model_shard),
+            n_model=model_shard,
+        )
+        fwd = jax.jit(lambda v, a, b: model.apply(v, a, b, shard_mesh=mesh))
+    elif mcfg.backbone_type == "swin_v1" and jax.default_backend() != "cpu":
         from featurematching_tpu.models.fast_inference import make_fast_matcher_fn
 
         fast = make_fast_matcher_fn(mcfg)
@@ -154,6 +169,9 @@ def main(argv=None) -> int:
     p.add_argument("--gray", action="store_true")
     p.add_argument("--size", type=int, nargs=2, default=(640, 480))
     p.add_argument("--thr", type=float, default=0.2)
+    p.add_argument("--model-shard", type=int, default=1,
+                   help="shard the coarse correlation over N mesh 'model' "
+                        "devices (high-res serving; see highres_eval_config)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -161,6 +179,7 @@ def main(argv=None) -> int:
     results = evaluate_dataset(
         ds, ckpt=args.ckpt, batch_size=args.batch, limit=args.limit,
         gray=args.gray, image_size=tuple(args.size), thr=args.thr,
+        model_shard=args.model_shard,
     )
     text = json.dumps(results, indent=2)
     print(text)

@@ -284,6 +284,25 @@ def loftr_tiny_config() -> Config:
     return Config(model=model)
 
 
+def highres_eval_config() -> Config:
+    """High-resolution serving profile: 1280x960 input -> 120x160 = 19200
+    coarse tokens, so the [L, S] = 19200^2 fp32 correlation is ~1.5 GB/pair —
+    past what a single chip should materialize. The coarse matching stage is
+    meant to run sequence-parallel over a ('data', 'model') mesh
+    (Matcher(..., shard_mesh=mesh) / evaluate --model-shard N): each chip
+    holds an S/N shard of image-1 tokens and the row statistics flash-merge
+    over ICI (ops/sharded_matching.py). Weight-compatible with the default
+    flagship config — same parameter tree, larger input.
+    """
+    model = ModelConfig(
+        match_coarse=CoarseMatchConfig(max_matches=4096, max_gt_matches=1024),
+    )
+    return Config(
+        model=model,
+        data=DataConfig(img_size=(1280, 960)),
+    )
+
+
 def tiny_test_config() -> Config:
     """A miniature config for fast CPU tests: small images, tiny towers."""
     model = ModelConfig(

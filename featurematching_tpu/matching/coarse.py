@@ -201,6 +201,9 @@ def coarse_match(
     max_matches: int = 1024,
     conf: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    mesh=None,
+    shard_axis: str = "model",
+    batch_axis: Optional[str] = "data",
 ) -> Tuple[CoarseMatches, Optional[jnp.ndarray]]:
     """Full coarse stage: confidence + fixed-shape mutual-NN selection.
 
@@ -208,21 +211,40 @@ def coarse_match(
     einsum (used when the training loss already materialized it). When no
     conf matrix is given or needed, the fused Pallas stats path is used on
     TPU (`impl='auto'`) and conf_matrix comes back as None.
+
+    `mesh`: a jax.sharding.Mesh with a >1-sized `shard_axis` switches the
+    stats computation to the sequence-parallel S-sharded path
+    (ops/sharded_matching) — the [L, S] correlation never exists on one chip
+    (SURVEY.md §5 long-context notes). Selection math is unchanged.
     """
     if conf is None:
-        from featurematching_tpu.ops.pallas_dual_softmax import (
-            dual_softmax_match_stats,
-        )
-
         # match SELECTION is non-differentiable (ids + thresholded maxima);
         # stop_gradient keeps the Pallas kernels out of JVP/VJP graphs when
         # coarse_match runs inside a differentiated training step
-        stats = dual_softmax_match_stats(
-            jax.lax.stop_gradient(feat_c0),
-            jax.lax.stop_gradient(feat_c1),
-            temperature=temperature,
-            impl=impl,
-        )
+        f0 = jax.lax.stop_gradient(feat_c0)
+        f1 = jax.lax.stop_gradient(feat_c1)
+        if mesh is not None and mesh.shape.get(shard_axis, 1) > 1:
+            from featurematching_tpu.ops.sharded_matching import (
+                dual_softmax_match_stats_sharded,
+            )
+
+            ba = batch_axis
+            if ba is not None and (
+                ba not in mesh.shape or f0.shape[0] % mesh.shape[ba]
+            ):
+                ba = None
+            stats = dual_softmax_match_stats_sharded(
+                f0, f1, mesh, temperature=temperature, axis=shard_axis,
+                batch_axis=ba,
+            )
+        else:
+            from featurematching_tpu.ops.pallas_dual_softmax import (
+                dual_softmax_match_stats,
+            )
+
+            stats = dual_softmax_match_stats(
+                f0, f1, temperature=temperature, impl=impl,
+            )
         i_ids, j_ids, mask, mconf = extract_matches_from_stats(
             stats, grid0, grid1, thr, border_rm, max_matches
         )

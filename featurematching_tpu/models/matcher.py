@@ -113,12 +113,18 @@ class Matcher(nn.Module):
         train: bool = False,
         gt_ids: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
         want_conf_matrix: Optional[bool] = None,
+        shard_mesh=None,
     ) -> MatcherOutput:
         """image*: [B, H, W, C_in] (NHWC, same static shape).
 
         gt_ids: (spv_i_ids, spv_j_ids, spv_mask), each [B, G] — the fine stage
         samples these during training (like the reference substituting
         spv_{b,i,j}_ids, coarse_matching_new.py:113-120).
+
+        shard_mesh: a ('data', 'model') Mesh with model>1 runs the coarse
+        correlation sequence-parallel over the 'model' axis (the [L, S]
+        volume is sharded on S; only O(L) stats cross the ICI) — the
+        high-resolution serving mode (SURVEY.md §5).
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -218,6 +224,7 @@ class Matcher(nn.Module):
             thr=mc.thr, border_rm=mc.border_rm,
             temperature=mc.dsmax_temperature,
             max_matches=mc.max_matches, conf=conf,
+            mesh=shard_mesh,
         )
         if not want_conf_matrix:
             conf_out = None

@@ -34,11 +34,15 @@ def dual_softmax_match_stats_sharded(
     mesh: Mesh,
     temperature: float = 0.1,
     axis: str = "model",
+    batch_axis: str = None,
 ) -> MatchStats:
     """MatchStats with the S axis of the correlation sharded over `axis`.
 
-    feat0: [B, L, C] (replicated), feat1: [B, S, C] (sharded on S).
-    S must be divisible by the axis size.
+    feat0: [B, L, C], feat1: [B, S, C] (sharded on S over `axis`).
+    S must be divisible by the axis size. When `batch_axis` is given (e.g.
+    'data' inside a jit whose batch rides the 'data' mesh axis), B is kept
+    sharded over it — the collectives then only cross the 'model' submesh and
+    no batch resharding is inserted.
     """
     C = feat0.shape[-1]
     inv_temp = 1.0 / (C * temperature)
@@ -46,12 +50,15 @@ def dual_softmax_match_stats_sharded(
     S = feat1.shape[1]
     assert S % D == 0, (S, D)
     S_local = S // D
+    ba = batch_axis
+    if ba is not None:
+        assert feat0.shape[0] % mesh.shape[ba] == 0, (feat0.shape, mesh.shape)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),
-        out_specs=(P(), P(), P(None, axis), P(None, axis)),
+        in_specs=(P(ba), P(ba, axis, None)),
+        out_specs=(P(ba), P(ba), P(ba, axis), P(ba, axis)),
         check_vma=False,
     )
     def stats(f0, f1_local):

@@ -92,6 +92,42 @@ class TestShardedMatching:
             np.asarray(got.col_argmax), np.asarray(ref.col_argmax)
         )
 
+    def test_matcher_shard_mesh_end_to_end(self, rng):
+        """Matcher(..., shard_mesh=('data','model') mesh) must produce the
+        same match ids as the unsharded Matcher — the high-res serving path
+        (config.highres_eval_config, apps/evaluate --model-shard)."""
+        import dataclasses as dc
+
+        from featurematching_tpu.config import tiny_test_config
+        from featurematching_tpu.models import Matcher
+        from featurematching_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_test_config()
+        mcfg = dc.replace(
+            cfg.model,
+            match_coarse=dc.replace(cfg.model.match_coarse, thr=1e-6),
+        )
+        model = Matcher(mcfg)
+        mesh = make_mesh(n_data=2, n_model=4)
+        img = jnp.asarray(rng.random((2, 48, 64, 1)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), img, img)
+        out_sh = jax.jit(
+            lambda v, a, b: model.apply(v, a, b, shard_mesh=mesh).coarse
+        )(variables, img, img)
+        out_1d = jax.jit(lambda v, a, b: model.apply(v, a, b).coarse)(
+            variables, img, img
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sh.i_ids), np.asarray(out_1d.i_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sh.j_ids), np.asarray(out_1d.j_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sh.mask), np.asarray(out_1d.mask)
+        )
+        assert int(np.asarray(out_1d.mask).sum()) > 0
+
     def test_sharded_match_extraction(self, rng):
         """End-to-end: extraction from sharded stats equals the XLA path."""
         from featurematching_tpu.matching.coarse import (
