@@ -230,6 +230,28 @@ def evaluate_matches(
     return out
 
 
+def evaluate_head_poses(
+    per_pair_T: Sequence[np.ndarray], val_pairs: Sequence[dict]
+) -> Dict[str, float]:
+    """Pose-HEAD metrics: angular R/t errors of the predicted T_0to1 vs GT
+    (the reference's compute_pose_errors_new path, utils/metrics.py:112-121),
+    aggregated to head_auc@{5,10,20} + medians. One shared implementation
+    applied to both frameworks' head outputs."""
+    from featurematching_tpu.utils.metrics import error_auc
+
+    errs, r_errs, t_errs = [], [], []
+    for T_pred, pair in zip(per_pair_T, val_pairs):
+        T = pair["T_0to1"]
+        t_err, R_err = relative_pose_error(T, T_pred[:3, :3], T_pred[:3, 3])
+        errs.append(max(t_err, R_err))
+        r_errs.append(R_err)
+        t_errs.append(t_err)
+    out = {f"head_{k}": v for k, v in error_auc(errs).items()}
+    out["head_R_med"] = float(np.median(r_errs))
+    out["head_t_med"] = float(np.median(t_errs))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # reference side (torch CPU)
 # ---------------------------------------------------------------------------
@@ -280,9 +302,30 @@ RESNET_FLAGSHIP = dict(
 ARCHS = {"tiny": TINY, "flagship": FLAGSHIP, "resnet_flagship": RESNET_FLAGSHIP}
 
 
-def ref_module_config(arch: dict) -> dict:
+def _quat_xyzw(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> unit quaternion (x, y, z, w), w >= 0 — the shared
+    GT-target convention for the pose protocol (the reference repo contains
+    NO producer for its loss's `quot_0to1` key; this is the harness's)."""
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(R).as_quat()  # (x, y, z, w)
+    return (q if q[3] >= 0 else -q).astype(np.float32)
+
+
+def ref_module_config(arch: dict, pose: str = "none") -> dict:
     t = arch
+    pose_new = {
+        # reference config.py:58-66 (POSE_NEW namespace), size = coarse grid
+        "d_model": 256,
+        "nhead": 8,
+        "layer_names": ["cross", "cross", "cross", "cross"],
+        "attention": "linear",
+        "size": [H // 8, W // 8],
+        "axis_w": 1,
+        "trans_w": 1,
+    }
     return {
+        "pose_new": pose_new,
         "backbone_type": "ResNetFPN" if t["backbone"] == "resnet" else "swin",
         "input_channel": 1,
         "resolution": (8, 2),
@@ -313,7 +356,7 @@ def ref_module_config(arch: dict) -> dict:
             "layer_names": list(t["fine_layers"]),
             "attention": "linear",
         },
-        "pose_net_flag": "none",
+        "pose_net_flag": pose,
         "loss": {
             "coarse_type": "focal",
             "coarse_weight": 1.0,
@@ -322,8 +365,8 @@ def ref_module_config(arch: dict) -> dict:
             "focal_gamma": 2.0,
             "pos_weight": 1.0,
             "neg_weight": 1.0,
-            "pose_net_flag": "none",
-            "pose_loss_cal_flag": "none",
+            "pose_net_flag": pose,
+            "pose_loss_cal_flag": pose,
             "fine_weight": 1.0,
             "fine_correct_thr": 1.0,
             "r_weight": 1.0,
@@ -342,12 +385,17 @@ def ref_batch(pair: dict, torch) -> dict:
         "T_1to0": torch.from_numpy(pair["T_1to0"])[None],
         "K0": torch.from_numpy(pair["K"])[None],
         "K1": torch.from_numpy(pair["K"])[None],
+        # pose-protocol GT quats (the reference loss reads quot_0to1/quot_1to0
+        # but nothing in its repo produces them — harness supplies, both sides)
+        "quot_0to1": torch.from_numpy(_quat_xyzw(pair["T_0to1"][:3, :3]))[None],
+        "quot_1to0": torch.from_numpy(_quat_xyzw(pair["T_1to0"][:3, :3]))[None],
         "pair_names": ("fixture",),
     }
 
 
 def run_reference(
-    pairs, n_train, order, lr, seed, arch=TINY, state_path="", warmup=0, clip=0.0
+    pairs, n_train, order, lr, seed, arch=TINY, state_path="", warmup=0, clip=0.0,
+    pose="none",
 ):
     """Train + evaluate the reference. Returns (metrics, losses, init_sd).
 
@@ -362,7 +410,7 @@ def run_reference(
     sup_mod = load_ref_module("network/utils/supervision_new.py")
     loss_mod = load_ref_module("losses/loss.py")
 
-    mcfg = ref_module_config(arch)
+    mcfg = ref_module_config(arch, pose)
     torch.manual_seed(seed)
     matcher = net_mod.net(mcfg)
     # controlled experiment: DropPath is the only train-time stochasticity in
@@ -402,6 +450,23 @@ def run_reference(
             for g in opt.param_groups:
                 g["lr"] = lr * min(1.0, (n + 1) / warmup)
         data = trainval(pairs[idx], train=True)
+        if pose == "new":
+            # the reference's commented-out `loss += loss_pose` (loss.py:169)
+            # re-enabled with grads, using its exact formula (loss.py:155-165)
+            mse_s = torch.nn.MSELoss(reduction="sum")
+            mse_m = torch.nn.MSELoss(reduction="mean")
+            q = mse_s(data["quot_0to1"].float(), data["quot_pred"][:, 0, :].float())
+            qi = mse_s(data["quot_1to0"].float(), data["quot_pred"][:, 1, :].float())
+            tl = mse_m(
+                data["T_0to1"][0, :3, 3:].T.float(),
+                data["translate_pred"][:, 0, :].float(),
+            )
+            tli = mse_m(
+                data["T_1to0"][0, :3, 3:].T.float(),
+                data["translate_pred"][:, 1, :].float(),
+            )
+            loss_pose = (q + qi) / 2 + torch.log((tl + tli) / 2 + 1)
+            data["loss"] = data["loss"] + loss_pose
         opt.zero_grad()
         data["loss"].backward()
         if clip:
@@ -419,21 +484,26 @@ def run_reference(
 
     matcher.eval()
     loss_fn.eval()
-    per_pair = []
+    per_pair, head_T = [], []
     with torch.no_grad():
         for pair in pairs[n_train:]:
             data = trainval(pair, train=False)
             m0 = data["mkpts0_f"][:, :2].numpy()
             m1 = data["mkpts1_f"][:, :2].numpy()
             per_pair.append(np.concatenate([m0, m1], -1))
-    return evaluate_matches(per_pair, pairs[n_train:]), losses, init_sd
+            if pose == "new":
+                head_T.append(data["T_0to1_pred"][0].numpy())
+    metrics = evaluate_matches(per_pair, pairs[n_train:])
+    if head_T:
+        metrics.update(evaluate_head_poses(head_T, pairs[n_train:]))
+    return metrics, losses, init_sd
 
 
 # ---------------------------------------------------------------------------
 # our side (jax CPU, same init / data / optimizer)
 # ---------------------------------------------------------------------------
 
-def our_config(arch=TINY, dtype="float32", fused="auto"):
+def our_config(arch=TINY, dtype="float32", fused="auto", pose="none"):
     import dataclasses as dc
 
     from featurematching_tpu.config import Config
@@ -482,8 +552,14 @@ def our_config(arch=TINY, dtype="float32", fused="auto"):
             max_matches=256 if t["backbone"] == "resnet" else 1024,
             max_gt_matches=NUM_GT,
         ),
-        loss=dc.replace(cfg.model.loss, sparse_spvs=t["sparse_spvs"]),
-        pose=dc.replace(cfg.model.pose, flag="none"),
+        loss=dc.replace(
+            cfg.model.loss,
+            sparse_spvs=t["sparse_spvs"],
+            # pose protocol: actually train the head (harness re-adds the
+            # reference's commented-out accumulation on the torch side too)
+            pose_in_total=pose != "none",
+        ),
+        pose=dc.replace(cfg.model.pose, flag=pose),
         compute_dtype=dtype,
         positional_encoding=False,  # reference net.py:66-70 comments PE out
         **backbone_kw,
@@ -512,7 +588,7 @@ def our_batch(pair: dict) -> Dict[str, np.ndarray]:
 
 def run_ours(
     pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32", fused="auto",
-    warmup=0, clip=0.0,
+    warmup=0, clip=0.0, pose="none",
 ):
     import jax
     import jax.numpy as jnp
@@ -526,7 +602,7 @@ def run_ours(
     )
     from featurematching_tpu.utils.torch_convert import convert_matcher
 
-    cfg = our_config(arch, dtype, fused)
+    cfg = our_config(arch, dtype, fused, pose)
     model = Matcher(cfg.model)
     sample = our_batch(pairs[0])
 
@@ -584,14 +660,19 @@ def run_ours(
                 flush=True,
             )
 
-    per_pair = []
+    per_pair, head_T = [], []
     for pair in pairs[n_train:]:
         out, _ = eval_step(state, our_batch(pair))
         mask = np.asarray(out.fine_ids[2][0])
         m0 = np.asarray(out.fine.mkpts0_f[0, :, :2])[mask]
         m1 = np.asarray(out.fine.mkpts1_f[0, :, :2])[mask]
         per_pair.append(np.concatenate([m0, m1], -1))
-    return evaluate_matches(per_pair, pairs[n_train:]), losses
+        if pose == "new" and out.T_0to1_pred is not None:
+            head_T.append(np.asarray(out.T_0to1_pred[0], np.float64))
+    metrics = evaluate_matches(per_pair, pairs[n_train:])
+    if head_T:
+        metrics.update(evaluate_head_poses(head_T, pairs[n_train:]))
+    return metrics, losses
 
 
 # ---------------------------------------------------------------------------
@@ -600,13 +681,19 @@ def run_ours(
 
 def _print_table(result):
     keys = ["auc@5", "auc@10", "auc@20", "prec@5e-04", "n_matches", "final_loss"]
+    if any("head_auc@10" in result.get(n, {}) for n in ("reference", "ours")):
+        keys += ["head_auc@10", "head_auc@20", "head_R_med", "head_t_med"]
     print("\n| framework | " + " | ".join(keys) + " |")
     print("|---|" + "---|" * len(keys))
     for name in ("reference", "ours"):
         if name not in result:
             continue
         row = result[name]
-        print(f"| {name} | " + " | ".join(f"{row[k]:.4f}" for k in keys) + " |")
+        print(
+            f"| {name} | "
+            + " | ".join(f"{row.get(k, float('nan')):.4f}" for k in keys)
+            + " |"
+        )
 
 
 def main():
@@ -625,6 +712,10 @@ def main():
     ap.add_argument("--clip", type=float, default=0.0,
                     help="global grad-norm clip, mirrored on both sides "
                          "(the reference trainer uses 0.5, config.py:152)")
+    ap.add_argument("--pose", choices=("none", "new"), default="none",
+                    help="train the quaternion pose head on BOTH sides "
+                         "(re-adds the reference's commented-out loss "
+                         "accumulation, loss.py:169); requires coarse_d=256")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--scene", choices=("plane", "two_plane"), default="plane")
     ap.add_argument("--sparse", choices=("arch", "on", "off"), default="arch",
@@ -688,6 +779,7 @@ def main():
         ref_metrics, ref_losses, init_sd = run_reference(
             pairs, args.train_pairs, order, args.lr, seed=args.seed, arch=arch,
             state_path=args.state, warmup=args.warmup, clip=args.clip,
+            pose=args.pose,
         )
         result["reference"] = {
             **ref_metrics,
@@ -708,7 +800,7 @@ def main():
         our_metrics, our_losses = run_ours(
             pairs, args.train_pairs, order, args.lr, init_sd, arch=arch,
             dtype=dtype, fused=args.ours_fused, warmup=args.warmup,
-            clip=args.clip,
+            clip=args.clip, pose=args.pose,
         )
         result["ours"] = {
             **our_metrics,

@@ -140,6 +140,12 @@ class LossConfig:
     fine_correct_thr: float = 1.0
     r_weight: float = 1.0
     t_weight: float = 1.0
+    # add the pose-head loss to the total. The reference COMPUTES loss_pose
+    # but leaves the accumulation commented out (loss.py:169 `# loss +=
+    # loss_pose`), so its pose heads receive no gradient; False reproduces
+    # that quirk. True actually trains the head (used by the pose-parity
+    # protocol, which re-adds the commented line on the torch side too).
+    pose_in_total: bool = False
 
 
 @_frozen

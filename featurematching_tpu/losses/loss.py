@@ -181,4 +181,8 @@ def total_loss(
     loss = cfg.coarse_weight * loss_c + cfg.fine_weight * loss_f
     if loss_pose is None:
         loss_pose = jnp.zeros((), loss.dtype)
+    elif cfg.pose_in_total:
+        # opt-in: the reference's commented-out `loss += loss_pose`
+        # (loss.py:169) re-enabled — the pose head actually trains
+        loss = loss + loss_pose
     return LossOutput(loss=loss, loss_c=loss_c, loss_f=loss_f, loss_pose=loss_pose)

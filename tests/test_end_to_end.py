@@ -11,6 +11,7 @@ import pytest
 
 @pytest.mark.slow
 class TestFullUserStory:
+    @pytest.mark.slow
     def test_cache_train_evaluate(self, tmp_path, rng):
         from tests.test_data import write_scared_fixture
 

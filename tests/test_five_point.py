@@ -106,6 +106,8 @@ class TestMinimalSolver:
         assert bool(ok[0])
         np.testing.assert_allclose(r, np.sort(roots), rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.slow
+
     def test_exact_recovery_rate(self, rng):
         """On exact correspondences the candidate set must contain the true E
         in the overwhelming majority of samples (float32; incl. planar)."""

@@ -8,8 +8,11 @@ host CPU would take minutes. ~1 min of wall clock on this container.
 
 import sys
 
+import pytest
+
 
 class TestFlagshipMultichip:
+    @pytest.mark.slow
     def test_flagship_train_step_compiles_on_8_device_mesh(self):
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as ge

@@ -27,6 +27,7 @@ class TestCoarseTrainFused:
             (1, 96, 128, 4, ("cross", "self", "cross")),
         ],
     )
+    @pytest.mark.slow
     def test_grads_match_flax(self, rng, B, N, C, nhead, layer_names):
         """Value + input grads + EVERY weight grad vs flax autodiff (f32)."""
         tf, params, f0, f1, w0, w1 = _make(rng, B, N, C, nhead, layer_names)

@@ -36,6 +36,7 @@ class TestFineTrainFused:
             (4, 49, 128, 8, ("self", "cross", "self", "cross")),
         ],
     )
+    @pytest.mark.slow
     def test_grads_match_flax(self, rng, B_, N, C, nhead, layer_names):
         """Value + input grads + EVERY weight grad vs flax autodiff (f32),
         incl. the sublane-padded ww=49->56 case."""

@@ -23,7 +23,13 @@ def _grads(fn, args, diff_idx, seed=3):
 
 
 class TestSwinBlockTrainParity:
-    @pytest.mark.parametrize("B_,N,C,h", [(8, 16, 32, 2), (6, 64, 64, 4)])
+    @pytest.mark.parametrize(
+        "B_,N,C,h",
+        [
+            (8, 16, 32, 2),  # small smoke case stays in the fast profile
+            pytest.param(6, 64, 64, 4, marks=pytest.mark.slow),
+        ],
+    )
     def test_unmasked_no_droppath(self, rng, B_, N, C, h):
         params = make_params(rng, C, h, N, 4 * C)
         x = jnp.asarray(rng.standard_normal((B_, N, C)).astype(np.float32))
@@ -48,6 +54,8 @@ class TestSwinBlockTrainParity:
                 np.asarray(got_dp[k]), np.asarray(ref_dp[k]),
                 rtol=5e-4, atol=5e-4, err_msg=k,
             )
+
+    @pytest.mark.slow
 
     def test_masked_with_droppath_scales(self, rng):
         B_, N, C, h, nW = 12, 16, 32, 2, 6
@@ -81,6 +89,8 @@ class TestSwinBlockTrainParity:
                 np.asarray(got_dp[k]), np.asarray(ref_dp[k]),
                 rtol=5e-4, atol=5e-4, err_msg=k,
             )
+
+    @pytest.mark.slow
 
     def test_bf16_grads_finite_and_close(self, rng):
         B_, N, C, h = 8, 16, 32, 2

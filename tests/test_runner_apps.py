@@ -32,6 +32,7 @@ class SyntheticPairDataset:
 
 
 class TestRunner:
+    @pytest.mark.slow
     def test_fit_validate_checkpoint_resume(self, tmp_path):
         from featurematching_tpu.train.runner import Runner
 
@@ -292,6 +293,7 @@ class TestCoarseOnly:
 
 
 class TestSfmApp:
+    @pytest.mark.slow
     def test_sequence_cli(self, tmp_path, rng):
         import cv2
 
@@ -312,6 +314,8 @@ class TestSfmApp:
         lines = open(out).read().strip().splitlines()
         assert len(lines) == 3
         assert all(len(l.split()) == 8 for l in lines)
+
+    @pytest.mark.slow
 
     def test_sequence_cli_loop_closure(self, tmp_path, rng):
         """--loop-closure end to end on an untrained matcher: retrieval may
@@ -440,6 +444,7 @@ class TestHostInit:
 
 
 class TestRunnerNativeLoader:
+    @pytest.mark.slow
     def test_fit_with_native_cache_and_prefetch(self, tmp_path):
         """Runner end-to-end on the native C++ loader via make_loader
         (VERDICT round-1 weak #6: fast path wired into the Runner)."""

@@ -35,6 +35,7 @@ def _tiny_teacher(thr=1e-8):
 
 
 class TestTeacherFn:
+    @pytest.mark.slow
     def test_identical_images_give_diagonal_matches(self, rng):
         img = _texture(rng, 64, 64)
         fn = _tiny_teacher()
@@ -85,6 +86,8 @@ class TestUnionCache:
         assert kp0.shape == kp1.shape and kp0.shape[1] == 2
         # identity pair: every surviving inlier is a self-correspondence
         np.testing.assert_allclose(kp0, kp1, atol=1e-3)
+
+    @pytest.mark.slow
 
     def test_cli_union_source(self, rng, tmp_path):
         # the real CLI path with the default loftr_tiny teacher profile

@@ -175,6 +175,8 @@ class TestTrainStep:
         # default config uses the conf-matrix-free sparse loss path
         assert out.conf_matrix is None
 
+    @pytest.mark.slow
+
     def test_sharded_train_step_8_devices(self, setup):
         """The multi-chip path: batch sharded over an 8-device 'data' mesh,
         params replicated; GSPMD handles the gradient psum."""
@@ -199,6 +201,7 @@ class TestTrainStep:
 
 
 class TestPoseHeadTraining:
+    @pytest.mark.slow
     def test_train_step_with_pose_head(self, rng):
         """Training with the quaternion pose head: pose loss recorded (not
         added to total, matching reference loss.py:169)."""
@@ -214,6 +217,8 @@ class TestPoseHeadTraining:
         step = jax.jit(make_train_step(model, cfg))
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
+
+    @pytest.mark.slow
 
     def test_old_pose_head_metric(self, rng):
         cfg = tiny_test_config()
