@@ -18,3 +18,24 @@ class TestFlagshipMultichip:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip_flagship(8)
+
+    @pytest.mark.slow
+    def test_flagship_train_step_executes_at_mid_shape(self):
+        """EXECUTED (not just compiled) full-Swin sharded train step at
+        240x320 global-batch-8 — catches runtime-only sharding bugs
+        (VERDICT round-2 item 5a)."""
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip_flagship_exec(8)
+
+    @pytest.mark.slow
+    def test_highres_sharded_matching_identical(self):
+        """(4,2) ('data','model') mesh must reproduce the single-device match
+        set at the 19200-token high-res operating point, and the full Matcher
+        pipeline with shard_mesh must match ids end-to-end (VERDICT round-2
+        item 3)."""
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip_highres(8)
