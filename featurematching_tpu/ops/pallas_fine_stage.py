@@ -298,6 +298,14 @@ def fine_stage_fused(
     chunk = min(chunk, B_)
     while B_ % chunk:
         chunk -= 1
+    # Mosaic requires 2-D output blocks [chunk, C] to have chunk % 8 == 0
+    # unless chunk == B_ (full array). Prefer the largest multiple-of-8
+    # divisor; else take the whole array in one grid step.
+    if chunk != B_ and chunk % 8:
+        c8 = chunk - (chunk % 8)
+        while c8 >= 8 and B_ % c8:
+            c8 -= 8
+        chunk = c8 if c8 >= 8 else B_
 
     head_of = np.arange(C) // d
     blockmask = jnp.asarray(

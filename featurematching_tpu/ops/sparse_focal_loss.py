@@ -35,10 +35,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _dot_f32(a, b, dims):
+    """dot_general in the OPERAND dtype with f32 accumulation — on TPU a
+    bf16xbf16->f32 MXU pass (1 pass vs ~6 for upcast-to-f32 matmuls; the
+    products of bf16 values are exact in f32, so only the accumulation
+    order differs from an f32 matmul of the same values)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+
+
 def _logsumexps(f0, f1, inv_temp, tile=512):
     """Row and col logsumexps of sim without materializing [L, S].
 
-    f0: [L, C], f1: [S, C] (single pair). Returns (lse_r [L], lse_c [S]).
+    f0: [L, C], f1: [S, C] (single pair, ORIGINAL dtype — the tile matmuls
+    run in that dtype with f32 accumulation). Returns (lse_r [L], lse_c [S]).
     """
     L, C = f0.shape
     S = f1.shape[0]
@@ -49,7 +60,7 @@ def _logsumexps(f0, f1, inv_temp, tile=512):
 
     def body(args):
         f0_tile, valid = args
-        sim = (f0_tile @ f1.T) * inv_temp  # [tile, S] fp32
+        sim = _dot_f32(f0_tile, f1, (((1,), (1,)), ((), ()))) * inv_temp  # [tile, S] fp32
         lse_r = jax.nn.logsumexp(sim, axis=1)
         # padded rows must not contaminate the column stats
         sim_c = jnp.where(valid[:, None], sim, -jnp.inf)
@@ -69,9 +80,9 @@ def _logsumexps(f0, f1, inv_temp, tile=512):
 
 
 def _gather_sim(f0, f1, gi, gj, inv_temp):
-    """sim at GT pairs: [G]."""
-    r0 = f0[gi]  # [G, C]
-    r1 = f1[gj]
+    """sim at GT pairs: [G] (f32 elementwise math on the gathered rows)."""
+    r0 = f0[gi].astype(jnp.float32)  # [G, C]
+    r1 = f1[gj].astype(jnp.float32)
     return jnp.sum(r0 * r1, axis=-1) * inv_temp
 
 
@@ -121,8 +132,6 @@ def _per_pair_loss_and_grad(logc, alpha, gamma):
 def _sfl_fwd(f0, f1, gt_i, gt_j, gt_mask, inv_temp, alpha, gamma, tile):
     B = f0.shape[0]
     f0_orig, f1_orig = f0, f1  # residuals keep the primal dtype (bf16 ok)
-    f0 = f0.astype(jnp.float32)
-    f1 = f1.astype(jnp.float32)
 
     def one(f0b, f1b, gib, gjb):
         lse_r, lse_c = _logsumexps(f0b, f1b, inv_temp, tile)
@@ -141,8 +150,9 @@ def _sfl_fwd(f0, f1, gt_i, gt_j, gt_mask, inv_temp, alpha, gamma, tile):
 
 def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
     f0_orig, f1_orig, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom = res
-    f0 = f0_orig.astype(jnp.float32)
-    f1 = f1_orig.astype(jnp.float32)
+    f0 = f0_orig  # tile matmuls run in the primal dtype (f32 accumulation)
+    f1 = f1_orig
+    dt = f0.dtype
     B, L, C = f0.shape
     S = f1.shape[1]
     G = gt_i.shape[1]
@@ -162,13 +172,13 @@ def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
 
         def body(args):
             f0_tile, a_r_t, lse_r_t = args
-            sim = (f0_tile @ f1b.T) * inv_temp  # [tile, S]
-            p_row = jnp.exp(sim - lse_r_t[:, None])
+            sim = _dot_f32(f0_tile, f1b, (((1,), (1,)), ((), ()))) * inv_temp
+            p_row = jnp.exp(sim - lse_r_t[:, None])  # [tile, S] f32
             p_col = jnp.exp(sim - lse_cb[None, :])
-            dsim = -(a_r_t[:, None] * p_row) - (a_c[None, :] * p_col)
-            df0_t = (dsim @ f1b) * inv_temp  # [tile, C]
-            df1_t = (dsim.T @ f0_tile) * inv_temp  # [S, C]
-            return df0_t, df1_t
+            dsim = (-(a_r_t[:, None] * p_row) - (a_c[None, :] * p_col)).astype(dt)
+            df0_t = _dot_f32(dsim, f1b, (((1,), (0,)), ((), ()))) * inv_temp
+            df1_t = _dot_f32(dsim, f0_tile, (((0,), (0,)), ((), ()))) * inv_temp
+            return df0_t, df1_t  # [tile, C] f32, [S, C] f32
 
         df0_t, df1_t = jax.lax.map(
             body, (f0p.reshape(n, tile, C), a_rp.reshape(n, tile),
