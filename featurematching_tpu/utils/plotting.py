@@ -18,24 +18,21 @@ def dynamic_alpha(
     milestones=(0, 300, 1000, 2000),
     alphas=(1.0, 0.8, 0.4, 0.2),
 ) -> float:
-    """Fade match lines as counts grow (plotting.py:131-142)."""
-    if n_matches == 0:
-        return 1.0
-    ranges = list(zip(alphas, alphas[1:] + (None,)))
-    loc = np.searchsorted(milestones, n_matches, side="right") - 1
-    low, high = ranges[loc]
-    if high is None:
-        return low
-    lo_m, hi_m = milestones[loc], milestones[loc + 1]
-    return float(low + (n_matches - lo_m) / (hi_m - lo_m) * (high - low))
+    """Fade match lines as counts grow: piecewise-linear alpha through the
+    (milestone, alpha) control points, clamped to the last alpha beyond the
+    final milestone (same behavior class as the reference plotting.py:131-142)."""
+    return float(np.interp(n_matches, milestones, alphas))
 
 
 def error_colormap(err: np.ndarray, thr: float, alpha: float = 1.0) -> np.ndarray:
-    """Green->red RGBA by error/threshold ratio (plotting.py:145-149)."""
-    x = 1.0 - np.clip(err / (thr * 2.0), 0.0, 1.0)
-    return np.stack(
-        [2 - x * 2, x * 2, np.zeros_like(x), np.full_like(x, alpha)], -1
-    ).clip(0, 1)
+    """Quality -> RGBA ramp: err 0 is pure green, err >= 2*thr pure red,
+    linear red<->green crossfade between (reference plotting.py:145-149
+    renders the same green-to-red semantics)."""
+    quality = 1.0 - np.clip(err / (2.0 * thr), 0.0, 1.0)  # 1 = good
+    r = np.clip(2.0 * (1.0 - quality), 0.0, 1.0)
+    g = np.clip(2.0 * quality, 0.0, 1.0)
+    zero = np.zeros_like(quality)
+    return np.stack([r, g, zero, np.full_like(quality, alpha)], axis=-1)
 
 
 def make_matching_figure(
