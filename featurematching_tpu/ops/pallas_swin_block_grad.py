@@ -105,13 +105,18 @@ def _fwd_recompute(
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
     wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
-    num_heads, want_intermediates,
+    num_heads, want_intermediates, p_saved=None, p_out_ref=None,
 ):
     """Shared forward math over VMEM-resident values. x: [CH, N, C] dtype.
     mask: [CH, N, N] f32 or None. s1/s2: [CH, 1, 1] f32 or None.
     bias_ref: PACKED rel bias [N, h*N]; hmask_ref: {0,1} head-block channel
     mask [h*N, C] (see pallas_swin_block head-packed attention notes).
-    Returns `out` or the full intermediate set for the backward pass."""
+    Returns `out` or the full intermediate set for the backward pass.
+
+    p_saved: attention probabilities stashed by the TRAIN forward — skips the
+    score matmul + softmax recompute in the backward (the HBM round trip is
+    cheaper than the VPU recompute at stage-0 widths). p_out_ref: where the
+    train forward stashes them."""
     CH, N, C = x.shape
     h = num_heads
     d = C // h
@@ -146,30 +151,35 @@ def _fwd_recompute(
     hmask = hmask_ref[...]
     kbig = (k if h == 1 else jnp.concatenate([k] * h, axis=1)) * hmask
     vbig = (v if h == 1 else jnp.concatenate([v] * h, axis=1)) * hmask
-    s = jax.lax.dot_general(
-        q, kbig,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * (d**-0.5)  # [CH, N, h*N]
-    s = s + bias_ref[...]
-    if mask is not None:
-        s = s + (mask if h == 1 else jnp.concatenate([mask] * h, axis=-1))
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    if h == 1:
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if p_saved is not None:
+        p = p_saved.astype(jnp.float32)
     else:
-        denom = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    jnp.sum(e[:, :, hi * N : (hi + 1) * N], axis=-1, keepdims=True),
-                    (CH, N, N),
-                )
-                for hi in range(h)
-            ],
-            axis=-1,
-        )
-        p = e / denom  # [CH, N, h*N] f32
+        s = jax.lax.dot_general(
+            q, kbig,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (d**-0.5)  # [CH, N, h*N]
+        s = s + bias_ref[...]
+        if mask is not None:
+            s = s + (mask if h == 1 else jnp.concatenate([mask] * h, axis=-1))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        if h == 1:
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            denom = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        jnp.sum(e[:, :, hi * N : (hi + 1) * N], axis=-1, keepdims=True),
+                        (CH, N, N),
+                    )
+                    for hi in range(h)
+                ],
+                axis=-1,
+            )
+            p = e / denom  # [CH, N, h*N] f32
+        if p_out_ref is not None:
+            p_out_ref[...] = p.astype(p_out_ref.dtype)
     abig = jax.lax.dot_general(
         p.astype(dtype), vbig,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -227,8 +237,8 @@ def _train_fwd_kernel(
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
     wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
-    out_ref,
-    *, num_heads, has_mask, has_scale,
+    out_ref, *maybe_p_ref,
+    num_heads, has_mask, has_scale,
 ):
     x = x_ref[...]
     mask = mask_ref[...] if has_mask else None
@@ -240,6 +250,7 @@ def _train_fwd_kernel(
         wproj_ref, bproj_ref,
         ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
         num_heads, want_intermediates=False,
+        p_out_ref=maybe_p_ref[0] if maybe_p_ref else None,
     )
 
 
@@ -260,7 +271,7 @@ def _ln_bwd(dh, xhat, rstd, scale):
 
 
 def _train_bwd_kernel(
-    x_ref, mask_ref, s1_ref, s2_ref, g_ref,
+    x_ref, mask_ref, s1_ref, s2_ref, g_ref, p_ref,
     ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
     wproj_ref, bproj_ref,
     ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
@@ -283,7 +294,7 @@ def _train_bwd_kernel(
         ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, bias_ref, hmask_ref,
         wproj_ref, bproj_ref,
         ln2s_ref, ln2b_ref, wm1_ref, bm1_ref, wm2_ref, bm2_ref,
-        num_heads, want_intermediates=True,
+        num_heads, want_intermediates=True, p_saved=p_ref[...],
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -514,9 +525,13 @@ def _prep_scale_mask(x, mask_pw, s1, s2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "chunk", "interpret")
+    jax.jit, static_argnames=("num_heads", "chunk", "interpret", "save_probs")
 )
-def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
+def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret,
+              save_probs=False):
+    """save_probs: ALSO emit the attention probabilities [B_, N, h*N] (in
+    x.dtype) for the backward kernel — used by the vjp forward only, so the
+    eval/primal forward never pays the extra HBM write."""
     B_, N, C = x.shape
     HID = params["w_mlp1"].shape[1]
     mask_pw, s1p, s2p, has_mask, has_scale = _prep_scale_mask(x, mask_pw, s1, s2)
@@ -531,6 +546,17 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
         _train_fwd_kernel, num_heads=num_heads, has_mask=has_mask,
         has_scale=has_scale,
     )
+    out_specs = pl.BlockSpec((chunk, N, C), lambda g: (g, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B_, N, C), x.dtype)
+    if save_probs:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((chunk, N, num_heads * N), lambda g: (g, 0, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B_, N, num_heads * N), x.dtype),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(B_ // chunk,),
@@ -540,8 +566,8 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
             pl.BlockSpec((chunk, 1, 1), lambda g: (g, 0, 0)),
             pl.BlockSpec((chunk, 1, 1), lambda g: (g, 0, 0)),
         ] + _param_specs(C, HID, num_heads, N),
-        out_specs=pl.BlockSpec((chunk, N, C), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B_, N, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, mask_pw, s1p, s2p, *_param_args(params, x.dtype, num_heads))
 
@@ -549,7 +575,7 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "chunk", "interpret")
 )
-def _bwd_impl(x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret):
+def _bwd_impl(x, mask_pw, s1, s2, params, g, p, num_heads, chunk, interpret):
     B_, N, C = x.shape
     HID = params["w_mlp1"].shape[1]
     mask_pw, s1p, s2p, has_mask, has_scale = _prep_scale_mask(x, mask_pw, s1, s2)
@@ -600,11 +626,12 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret):
             pl.BlockSpec((chunk, 1, 1), lambda g_: (g_, 0, 0)),
             pl.BlockSpec((chunk, 1, 1), lambda g_: (g_, 0, 0)),
             pl.BlockSpec((chunk, N, C), lambda g_: (g_, 0, 0)),
+            pl.BlockSpec((chunk, N, num_heads * N), lambda g_: (g_, 0, 0)),
         ] + _param_specs(C, HID, num_heads, N),
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(x, mask_pw, s1p, s2p, g, *_param_args(params, x.dtype, num_heads))
+    )(x, mask_pw, s1p, s2p, g, p, *_param_args(params, x.dtype, num_heads))
     dx = outs[0].astype(x.dtype)
     keys = [k for k in PARAM_KEYS]
     dparams = {k: outs[1 + i] for i, k in enumerate(keys)}
@@ -629,14 +656,17 @@ def swin_block_train(x, mask_pw, s1, s2, params, num_heads, chunk=None,
 
 
 def _vjp_fwd(x, mask_pw, s1, s2, params, num_heads, chunk, interpret):
-    out = _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret)
-    return out, (x, mask_pw, s1, s2, params)
+    out, p = _fwd_impl(
+        x, mask_pw, s1, s2, params, num_heads, chunk, interpret,
+        save_probs=True,
+    )
+    return out, (x, mask_pw, s1, s2, params, p)
 
 
 def _vjp_bwd(num_heads, chunk, interpret, res, g):
-    x, mask_pw, s1, s2, params = res
+    x, mask_pw, s1, s2, params, p = res
     dx, dparams = _bwd_impl(
-        x, mask_pw, s1, s2, params, g, num_heads, chunk, interpret
+        x, mask_pw, s1, s2, params, g, p, num_heads, chunk, interpret
     )
     dmask = None if mask_pw is None else jnp.zeros_like(mask_pw)
     ds1 = None if s1 is None else jnp.zeros_like(s1)
