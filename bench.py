@@ -24,10 +24,16 @@ REF_PAIRS_PER_S = 8.6  # LoFTR @ 640x480 on RTX 2080 Ti (116 ms/pair)
 
 BATCH = 4
 WARMUP = 2
-ITERS = 15
+ITERS = 60  # sized so the one end-of-window host fetch (tunnel round trip,
+# ~25 ms — block_until_ready is a no-op on axon) amortizes below the noise
+# floor: profiler-verified device busy time is 100% within a window, so the
+# steady-state rate is device-bound, and at 15 iters the fetch alone was
+# costing ~1.8 ms/iter (~7%) of reported throughput
 REPS = 3  # best-of: tunnel variance is one-sided (stalls slow a rep down,
 # nothing speeds one up), so the max-throughput rep is the least-noisy
 # estimate of the chip's actual rate (observed spread ±8%)
+
+V5E_BF16_PEAK_TFLOPS = 394.0  # TPU v5e peak bf16 MXU throughput
 
 
 def main() -> None:
@@ -76,6 +82,36 @@ def main() -> None:
         # the arrays a pipeline consumer needs
         return out.coarse.mask, out.fine.mkpts0_f, out.fine.mkpts1_f, out.coarse.mconf
 
+    # model FLOPs/pair from XLA's own cost model, so "fast or just correct"
+    # is a number: MFU = achieved FLOPs/s over the chip's bf16 peak.
+    # The production path hides most FLOPs inside Pallas custom calls (which
+    # XLA costs at 0), so the count comes from compiling the SAME model with
+    # every fused kernel off — the pure-XLA path computes the identical
+    # function (equality-tested in tests/test_fast_inference.py), so its
+    # flop count is the algorithmic cost of what the fused path executes.
+    flops_per_pair = None
+    try:
+        import dataclasses as _dc
+
+        plain_cfg = _dc.replace(
+            cfg.model,
+            swin=_dc.replace(
+                cfg.model.swin, fused_block="off", fused_attention="off",
+            ),
+        )
+        plain = Matcher(plain_cfg)
+        cost = (
+            jax.jit(plain.apply)
+            .lower(variables, img0, img1)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_pair = float(cost["flops"]) / BATCH
+    except Exception:
+        pass
+
     def fetch(res):
         # NOTE: block_until_ready is a no-op on the axon tunnel platform —
         # a host fetch of a scalar is the only reliable completion barrier.
@@ -97,18 +133,20 @@ def main() -> None:
     pairs_per_s = max(reps)
     # headline = best-of-3 (tunnel stalls are one-sided); value_median is
     # reported alongside so the number is robust to that critique
-    print(
-        json.dumps(
-            {
-                "metric": "matched_pairs_per_s_per_chip",
-                "value": round(pairs_per_s, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_s / REF_PAIRS_PER_S, 3),
-                "value_median": round(float(np.median(reps)), 3),
-                "reps": [round(r, 1) for r in reps],
-            }
+    rec = {
+        "metric": "matched_pairs_per_s_per_chip",
+        "value": round(pairs_per_s, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / REF_PAIRS_PER_S, 3),
+        "value_median": round(float(np.median(reps)), 3),
+        "reps": [round(r, 1) for r in reps],
+    }
+    if flops_per_pair is not None:
+        rec["model_gflops_per_pair"] = round(flops_per_pair / 1e9, 2)
+        rec["mfu_pct"] = round(
+            100.0 * flops_per_pair * pairs_per_s / (V5E_BF16_PEAK_TFLOPS * 1e12), 3
         )
-    )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -81,10 +81,45 @@ def parse_trace(trace_dir: str, iters: int) -> None:
         op_dur[name] += e.get("dur", 0)
         op_cnt[name] += 1
 
+    # span/gap analysis: per device lane (pid,tid), wall span covered by ops
+    # vs busy time — the difference is device idle (dispatch/launch gaps)
+    lane_iv = collections.defaultdict(list)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "Device" not in pname and "/device" not in pname:
+            continue
+        name = e.get("name", "")
+        if (name.startswith("Steps") or name.startswith("run_")
+                or name.startswith("jit_") or name.isdigit()):
+            continue
+        lane_iv[(e["pid"], e.get("tid", 0))].append((e["ts"], e["ts"] + e.get("dur", 0)))
+    # merge intervals across ALL lanes: busy-union vs total span
+    allint = sorted(iv for ivs in lane_iv.values() for iv in ivs)
+    busy_union = 0.0
+    span = 0.0
+    if allint:
+        span = max(b for _, b in allint) - allint[0][0]
+        cs, ce = allint[0]
+        for s, t in allint[1:]:
+            if s > ce:
+                busy_union += ce - cs
+                cs, ce = s, t
+            else:
+                ce = max(ce, t)
+        busy_union += ce - cs
+
     total = sum(op_dur.values())
     print(f"trace: {path}")
     print(f"device op time total: {total/1000:.2f} ms over {iters} iters "
-          f"=> {total/1000/iters:.2f} ms/iter\n")
+          f"=> {total/1000/iters:.2f} ms/iter")
+    if allint:
+        print(f"device span {span/1000:.2f} ms, busy-union {busy_union/1000:.2f} ms, "
+              f"idle {(span-busy_union)/1000:.2f} ms => "
+              f"{(span-busy_union)/1000/iters:.2f} ms idle/iter "
+              f"({len(allint)} op instances, {len(lane_iv)} lanes)")
+    print()
 
     buckets = collections.Counter()
     for name, d in op_dur.items():

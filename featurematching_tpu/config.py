@@ -109,7 +109,11 @@ class PoseHeadConfig:
 
     Reference: /root/reference/config.py:46-66 (POSE / POSE_NEW namespaces).
     flag: 'none' | 'old' (axis-angle+translation, pose_pred.py:196) |
-          'new' (quaternion+translation, pose_pred_new.py).
+          'new' (quaternion+translation, pose_pred_new.py, bit-faithful incl.
+          its direction-softmax quat normalization that cannot represent
+          rotations) | 'new_fixed' (same trunk/params, per-direction
+          L2-normalized w>=0 quaternion — the head the reference author
+          needed; ours-only capability).
     """
 
     flag: str = "none"

@@ -51,6 +51,10 @@ from featurematching_tpu.ops.pallas_fine_stage import (
     fine_stage_supported,
 )
 from featurematching_tpu.ops.pallas_ln import layer_norm_chain
+from featurematching_tpu.ops.pallas_patch_expand import (
+    patch_expand_ln,
+    patch_expand_supported,
+)
 from featurematching_tpu.ops.pallas_swin_block import swin_block_fused
 
 
@@ -172,6 +176,32 @@ def _patch_expand(x, H, W, p, p_norm_up, interpret):
     )
 
 
+def _patch_expand_fused(x, H, W, p, p_norm_up, head, emit_ln, interpret):
+    """PatchExpand via ops/pallas_patch_expand: the depth-to-space 6-d
+    transpose (round-2/3 profile: ~0.95 ms copies + 0.31 ms reshape) is
+    replaced by two contiguous lane-half reshapes + an interleaving output
+    BlockSpec, and the LN chain (+ optional head dense: linear_middle /
+    linear_end) runs in the same HBM pass. Falls back to `_patch_expand`
+    when the shape is unsupported."""
+    y = _dense(x, p["expand"])
+    Ce = y.shape[-1]
+    if not patch_expand_supported(Ce):
+        out = _patch_expand(x, H, W, p, p_norm_up, interpret)
+        outs = [out] if emit_ln else []
+        if head is not None:
+            outs.append(_dense(out, head))
+        return tuple(outs)
+    return patch_expand_ln(
+        y, H, W,
+        p["norm"]["scale"], p["norm"]["bias"],
+        p_norm_up["scale"], p_norm_up["bias"],
+        w_head=head["kernel"].astype(y.dtype) if head is not None else None,
+        b_head=head.get("bias", jnp.zeros(head["kernel"].shape[1]))
+        if head is not None else None,
+        emit_ln=emit_ln, interpret=interpret,
+    )
+
+
 def swin_backbone_fast(
     params: Dict, x: jnp.ndarray, cfg: ModelConfig, interpret: bool = False
 ):
@@ -222,14 +252,20 @@ def swin_backbone_fast(
                 y, Wh, Ww, p[f"dec{j}_blk{b}"], s.window_size, shift, heads,
                 interpret,
             )
-        y = _patch_expand(
-            y, Wh, Ww, p[f"dec{j}_expand"], p[f"norm_up{j}"], interpret
+        last = j == n_up - 1
+        head = p["linear_middle"] if j == 0 else (p["linear_end"] if last else None)
+        outs = _patch_expand_fused(
+            y, Wh, Ww, p[f"dec{j}_expand"], p[f"norm_up{j}"],
+            head=head, emit_ln=not last, interpret=interpret,
         )
         Wh, Ww = Wh * 2, Ww * 2
         if j == 0:
-            out_c = _dense(y, p["linear_middle"]).reshape(B, Wh, Ww, 256)
-        elif j == n_up - 1:
-            out_f = _dense(y, p["linear_end"]).reshape(B, Wh, Ww, 64)
+            y, oc = outs
+            out_c = oc.reshape(B, Wh, Ww, 256)
+        elif last:
+            out_f = outs[0].reshape(B, Wh, Ww, 64)
+        else:
+            y = outs[0]
     return out_c, out_f
 
 

@@ -322,11 +322,13 @@ class Matcher(nn.Module):
                 size=(hc, wc), axis_w=cfg.pose.axis_w, trans_w=cfg.pose.trans_w,
                 dtype=dtype, name="pose_pred",
             )(feat_c0, feat_c1)
-        elif cfg.pose.flag == "new":
+        elif cfg.pose.flag in ("new", "new_fixed"):
             T01, T10, quat_pred, trans_pred = PosePredNew(
                 d_model=cfg.pose.d_model, nhead=cfg.pose.nhead,
                 layer_names=cfg.pose.layer_names_new, attention=cfg.pose.attention,
-                size=(hc, wc), dtype=dtype, name="pose_pred",
+                size=(hc, wc), dtype=dtype,
+                quat_norm="l2" if cfg.pose.flag == "new_fixed" else "softmax_dir",
+                name="pose_pred",
             )(feat_c0, feat_c1)
 
         return MatcherOutput(

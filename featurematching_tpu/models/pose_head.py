@@ -104,6 +104,17 @@ class PosePredNew(nn.Module):
     attention: str = "linear"
     size: Tuple[int, int] = (60, 80)
     dtype: jnp.dtype = jnp.float32
+    # 'softmax_dir': bit-faithful to the reference (pose_pred_new.py:169,189)
+    #   — nn.Softmax across the two prediction DIRECTIONS per component. This
+    #   constrains every quat component to (0, 1) with q[:,0]+q[:,1]=1, which
+    #   cannot represent general unit quaternions: the head is architecturally
+    #   unable to learn rotation (measured chance-level ~120 deg R_med,
+    #   benchmarks/pose_s7.json).
+    # 'l2' (the 'new_fixed' head): per-direction L2 normalization with the
+    #   sign canonicalized to w >= 0 — matches the GT convention
+    #   (geometry.se3.matrix_to_quat) so the chordal MSE loss
+    #   (losses/loss.py:compute_pose_loss_new) is well-posed.
+    quat_norm: str = "softmax_dir"
 
     @nn.compact
     def __call__(self, feat_c0: jnp.ndarray, feat_c1: jnp.ndarray):
@@ -134,7 +145,12 @@ class PosePredNew(nn.Module):
         out = jnp.mean(out, axis=(1, 2)).astype(jnp.float32)  # [2B, 7]
         out = jnp.stack([out[:B], out[B:]], axis=1)  # [B, 2, 7]
         trans = out[..., :3]  # [B, 2, 3]
-        quat = nn.softmax(out[..., 3:], axis=1)  # over the direction axis
+        raw = out[..., 3:]
+        if self.quat_norm == "l2":
+            q = raw / (jnp.linalg.norm(raw, axis=-1, keepdims=True) + 1e-8)
+            quat = jnp.where(q[..., 3:4] >= 0, q, -q)  # w >= 0 canonical
+        else:
+            quat = nn.softmax(raw, axis=1)  # over the direction axis
 
         def to_T(q, t):
             R = quat_to_matrix(q)

@@ -91,7 +91,10 @@ def _erf_approx(x):
     Mosaic has no erf/erfc lowering; this is pure VPU arithmetic and keeps
     the exact-GELU parity within fp32 noise.
     """
-    sign = jnp.sign(x)
+    # Mosaic lacks bf16 vector compares — keep the sign compare in f32 (a
+    # no-op cast on the f32 path this kernel always takes; see the round-4
+    # bf16-VPU dead-end note in _block_math)
+    sign = jnp.sign(x.astype(jnp.float32)).astype(x.dtype)
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * ax)
     poly = t * (
@@ -167,6 +170,10 @@ def _block_math(
     # constant is exact, so use ONE row max over all h*N lanes and ONE exp;
     # only the per-head denominators need h small lane-slice reduces.
     s = s - jnp.max(s, axis=-1, keepdims=True)
+    # NOTE (round-4 measured dead end): running exp/divide/GELU in bf16
+    # ("packed VPU") REGRESSES ~15% per block on this Mosaic — bf16
+    # transcendentals are emulated via f32 with extra cast passes
+    # (stage-0: 1.20 -> 1.38 ms). Keep the f32 chain.
     e = jnp.exp(s)
     if h == 1:
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)

@@ -134,7 +134,7 @@ def _forward_with_loss(
     # total, matching the reference's commented-out accumulation at :169)
     loss_pose = None
     flag = cfg.model.pose.flag
-    if flag == "new" and out.quat_pred is not None:
+    if flag in ("new", "new_fixed") and out.quat_pred is not None:
         from featurematching_tpu.geometry.se3 import matrix_to_quat
         from featurematching_tpu.losses.loss import compute_pose_loss_new
 

@@ -193,3 +193,67 @@ class TestLayerNormChain:
         got = np.asarray(layer_norm_chain(x, s, b, interpret=True))
         ref = self._ref_ln(np.asarray(x), np.ones(32, np.float32), np.zeros(32, np.float32))
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestPatchExpandLN:
+    """ops/pallas_patch_expand.patch_expand_ln vs the 6-d transpose path
+    it replaces (models/fast_inference._patch_expand round-1..3 form)."""
+
+    def _ref(self, y, H, W, s1, b1, s2=None, b2=None, wh=None, bh=None):
+        B, L, Ce = y.shape
+        C4 = Ce // 4
+        t = (
+            y.astype(np.float32)
+            .reshape(B, H, W, 2, 2, C4)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, 4 * H * W, C4)
+        )
+
+        def ln(v, s, b, eps=1e-6):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) / np.sqrt(var + eps) * s + b
+
+        o = ln(t, s1, b1)
+        if s2 is not None:
+            o = ln(o, s2, b2)
+        outs = [o]
+        if wh is not None:
+            outs.append(o @ wh + bh)
+        return outs
+
+    @pytest.mark.parametrize(
+        "B,H,W,Ce,head,emit_ln",
+        [
+            (2, 6, 10, 128, False, True),   # dec1-like C4=32..128 family
+            (2, 6, 10, 128, True, True),    # dec0-like: LN out + head out
+            (1, 4, 8, 64, True, False),     # dec2-like: head only
+            (3, 5, 7, 32, False, True),     # narrow lanes, odd spatial
+        ],
+    )
+    def test_matches_transpose_path(self, rng, B, H, W, Ce, head, emit_ln):
+        from featurematching_tpu.ops.pallas_patch_expand import patch_expand_ln
+
+        C4 = Ce // 4
+        y = rng.standard_normal((B, H * W, Ce)).astype(np.float32)
+        s1 = 1 + 0.1 * rng.standard_normal(C4).astype(np.float32)
+        b1 = 0.1 * rng.standard_normal(C4).astype(np.float32)
+        s2 = 1 + 0.1 * rng.standard_normal(C4).astype(np.float32)
+        b2 = 0.1 * rng.standard_normal(C4).astype(np.float32)
+        wh = rng.standard_normal((C4, 16)).astype(np.float32) * 0.1
+        bh = rng.standard_normal(16).astype(np.float32)
+
+        got = patch_expand_ln(
+            jnp.asarray(y), H, W,
+            jnp.asarray(s1), jnp.asarray(b1), jnp.asarray(s2), jnp.asarray(b2),
+            jnp.asarray(wh) if head else None,
+            jnp.asarray(bh) if head else None,
+            emit_ln=emit_ln, interpret=True,
+        )
+        refs = self._ref(y, H, W, s1, b1, s2, b2, wh if head else None,
+                         bh if head else None)
+        if not emit_ln:
+            refs = refs[1:]
+        assert len(got) == len(refs)
+        for g, r in zip(got, refs):
+            np.testing.assert_allclose(np.asarray(g), r, atol=5e-4)
