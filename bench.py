@@ -24,7 +24,7 @@ REF_PAIRS_PER_S = 8.6  # LoFTR @ 640x480 on RTX 2080 Ti (116 ms/pair)
 
 BATCH = 4
 WARMUP = 2
-ITERS = 60  # sized so the one end-of-window host fetch (tunnel round trip,
+ITERS = 150  # sized so the one end-of-window host fetch (tunnel round trip,
 # ~25 ms — block_until_ready is a no-op on axon) amortizes below the noise
 # floor: profiler-verified device busy time is 100% within a window, so the
 # steady-state rate is device-bound, and at 15 iters the fetch alone was

@@ -35,7 +35,7 @@ def build(mode: str, batch: int):
     import featurematching_tpu as fm
     from featurematching_tpu.data.synthetic import synthetic_batch
     from featurematching_tpu.models.matcher import Matcher
-    from featurematching_tpu.train.step import TrainState, make_train_step
+    from featurematching_tpu.train.step import TrainState, make_opt_state, make_train_step
     from featurematching_tpu.utils.host_init import host_init_variables
 
     cfg = fm.default_config()
@@ -65,7 +65,7 @@ def build(mode: str, batch: int):
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(params),
+        opt_state=make_opt_state(tx, params),
         tx=tx,
     )
     step = jax.jit(make_train_step(model, cfg))

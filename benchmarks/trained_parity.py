@@ -598,6 +598,7 @@ def run_ours(
     from featurematching_tpu.train.step import (
         TrainState,
         make_eval_step,
+        make_opt_state,
         make_train_step,
     )
     from featurematching_tpu.utils.torch_convert import convert_matcher
@@ -636,7 +637,7 @@ def run_ours(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=stats,
-        opt_state=tx.init(params),
+        opt_state=make_opt_state(tx, params),
         tx=tx,
     )
 

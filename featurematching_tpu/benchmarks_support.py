@@ -19,7 +19,7 @@ def make_train_callable(cfg, variables, img0, img1):
 
     from featurematching_tpu.data.synthetic import synthetic_batch
     from featurematching_tpu.models.matcher import Matcher
-    from featurematching_tpu.train.step import TrainState, make_train_step
+    from featurematching_tpu.train.step import TrainState, make_opt_state, make_train_step
 
     B, H, W = img0.shape[0], img0.shape[1], img0.shape[2]
     rng = np.random.default_rng(0)
@@ -33,7 +33,7 @@ def make_train_callable(cfg, variables, img0, img1):
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(params),
+        opt_state=make_opt_state(tx, params),
         tx=tx,
     )
     step = jax.jit(make_train_step(model, cfg))

@@ -151,6 +151,55 @@ def _gather_bwd_taps(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g):
     return dflat.reshape(B, Hf, Wf, C)
 
 
+def _gather_bwd_rows(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g):
+    """Row-strip scatter-add: the exact mirror of _gather_rows' gather.
+
+    B*K*W descriptors of one CONTIGUOUS [W*C] row strip each — 7x fewer
+    update descriptors than the per-tap path (which issues one [C] row per
+    tap) at identical bytes. X-clipping is handled like the forward: scatter
+    into an x-padded operand, then slice the pad off; y-clipped rows are
+    zero-masked (their clamped writes add zeros)."""
+    wc = grid_c[1]
+    K = ids.shape[1]
+    W = window
+    off = window_center_offset(W, stride)
+    pad = max(0, -off)
+    right = max(0, ((wc - 1) * stride + off + W) - Wf)
+    Wp = pad + Wf + right
+
+    cell_y = (ids // wc).astype(jnp.int32)
+    cell_x = (ids % wc).astype(jnp.int32)
+    y0 = cell_y * stride + off
+    x0 = cell_x * stride + off
+
+    dy = jnp.arange(W, dtype=jnp.int32)
+    ys = y0[:, :, None] + dy[None, None]  # [B, K, W]
+    row_ok = (ys >= 0) & (ys < Hf)
+    ys_c = jnp.clip(ys, 0, Hf - 1)
+    starts = jnp.stack(
+        [ys_c, jnp.broadcast_to((x0 + pad)[:, :, None], ys.shape)], axis=-1
+    ).reshape(B, K * W, 2)
+
+    gm = g.astype(dtype).reshape(B, K, W, W, C) * row_ok[..., None, None].astype(
+        dtype
+    )
+    updates = gm.reshape(B, K * W, W, C)
+
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    zero = jnp.zeros((B, Hf, Wp, C), dtype)
+    out = jax.vmap(
+        lambda z, st, up: jax.lax.scatter_add(
+            z, st, up, dnums, mode="clip",
+            indices_are_sorted=False, unique_indices=False,
+        )
+    )(zero, starts, updates)
+    return out[:, :, pad : pad + Wf, :]
+
+
 def _fold_combos(s: int, W: int, off: int):
     """col2im bookkeeping: for output residue r (mod stride s), the (cell
     shift e, tap index d) pairs with s*e + r - off == d, 0 <= d < W."""
@@ -218,6 +267,12 @@ def _gather_bwd_fold(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g):
 # descriptors) — it degrades badly when the host is loaded; the fold trades
 # ~2 ms of dense-grid HBM traffic for dispatch-independence. Default to the
 # quiet-host winner; set FMTPU_GATHER_BWD=fold (env) on dispatch-bound hosts.
+# 'rows' (round-4 measured dead end): scattering whole [W*C] row strips via
+# windowed lax.scatter_add mirrors the forward gather and issues 7x fewer
+# descriptors — but XLA-TPU lowers windowed scatter-adds with potentially
+# overlapping regions to a SERIAL per-update loop (~100k dynamic-update-slice
+# ops/step, 65.5 -> 77+ ms device). The flat one-row .at[].add() form is the
+# one XLA pattern-matches to its parallel kCustom scatter.
 GATHER_BWD_MODE = os.environ.get("FMTPU_GATHER_BWD", "tap")
 
 
@@ -228,6 +283,8 @@ def _gather_bwd(grid_c, window, stride, res, g):
     on_grid = Hf == hc * stride and Wf == wc * stride
     if GATHER_BWD_MODE == "fold" and on_grid:
         d = _gather_bwd_fold(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g)
+    elif GATHER_BWD_MODE == "rows":
+        d = _gather_bwd_rows(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g)
     else:
         d = _gather_bwd_taps(ids, B, Hf, Wf, C, dtype, grid_c, window, stride, g)
     return d, None

@@ -382,17 +382,23 @@ class PatchExpand(nn.Module):
         B, L, C = x.shape
         x = nn.Dense(self.dim_scale * C, use_bias=False, dtype=self.dtype, name="expand")(x)
         Ce = x.shape[-1]
-        x = x.reshape(B, H, W, 2, 2, Ce // 4)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, Ce // 4)
-        x = x.reshape(B, 4 * H * W, Ce // 4)
-        # keep the depth-to-space reshuffle in bf16 in BOTH directions:
-        # without the barrier XLA moves the LN's f32 convert across the
-        # reshape/transpose pair (forward) and sinks the f32->bf16 grad
-        # convert below the inverse transposes (backward), doubling the
-        # bytes of the 6-d layout copies (train-step trace: ~2.5 ms/step of
-        # f32 [8,120,2,160,2,64] copies). Same fix as the inference engine
-        # (fast_inference._patch_expand); optimization_barrier transposes to
-        # itself, so the backward copies stay bf16 too.
+        # Depth-to-space via lane-half splits instead of a 6-d transpose
+        # (round-4 redesign, shared with ops/pallas_patch_expand): with the
+        # expand output viewed as [B, H, W, (i, j, c)], each row-half
+        # x[..., i*Ce/2:(i+1)*Ce/2].reshape(B, H, 2W, Ce/4) is CONTIGUOUS
+        # ((w,(j,c)) -> ((w,j),c)), so XLA lowers it as one relayout copy
+        # per half, and the row interleave is a single stack — replacing the
+        # [8,120,2,160,2,64]-class transpose pairs that cost ~2.5 ms/step
+        # fwd+bwd in the round-3 train trace. All three ops are trivially
+        # transposable, so the backward gets the same structure for free.
+        x = x.reshape(B, H, W, Ce)
+        x0 = x[..., : Ce // 2].reshape(B, H, 2 * W, Ce // 4)
+        x1 = x[..., Ce // 2 :].reshape(B, H, 2 * W, Ce // 4)
+        x = jnp.stack([x0, x1], axis=2).reshape(B, 4 * H * W, Ce // 4)
+        # keep the reshuffle in bf16 in BOTH directions: without the barrier
+        # XLA moves the LN's f32 convert across the reshape/copy chain
+        # (forward) and sinks the f32->bf16 grad convert below the inverse
+        # copies (backward), doubling the bytes of the layout copies.
         x = jax.lax.optimization_barrier(x)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 

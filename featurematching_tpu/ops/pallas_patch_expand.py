@@ -45,10 +45,23 @@ def _kernel(
     y0_ref, y1_ref, s1_ref, b1_ref, s2_ref, b2_ref, wh_ref, bh_ref,
     *outs, two, head, emit_ln, eps,
 ):
+    C4 = y0_ref.shape[-1]
+    # LN stats on the MXU: mean = v @ (11^T/C) lands broadcast across lanes
+    # in ONE matmul instead of a lane-reduce + broadcast VPU chain (the
+    # kernel is VPU-bound at these narrow widths: C4 = 32..128 lanes)
+    avg = jnp.full((C4, C4), 1.0 / C4, jnp.float32)
+
     def ln(v, s_ref, b_ref):
-        mu = jnp.mean(v, axis=-1, keepdims=True)
-        var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
-        return (v - mu) * jax.lax.rsqrt(var + eps) * s_ref[...] + b_ref[...]
+        mu = jax.lax.dot_general(
+            v, avg, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = v - mu
+        var = jax.lax.dot_general(
+            d * d, avg, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return d * jax.lax.rsqrt(var + eps) * s_ref[...] + b_ref[...]
 
     def chain(ref):
         v = ref[...].astype(jnp.float32)
@@ -118,7 +131,7 @@ def patch_expand_ln(
     # chain's f32 temporaries cost several copies of the per-half block, so
     # size the per-half block to ~3 MB of f32 working set (measured: one
     # whole-block stack temp at 4 MB OOMs with 17.8M scoped)
-    target = max(1, (3 << 20) // (2 * W * C4 * 4 * 4))
+    target = max(1, (6 << 20) // (2 * W * C4 * 4 * 4))  # TEMP-AB
     G = min(target, rows)
     while rows % G:
         G -= 1

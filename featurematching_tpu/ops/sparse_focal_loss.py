@@ -170,7 +170,11 @@ def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
         a_rp = jnp.pad(a_r, (0, pad))
         lse_rp = jnp.pad(lse_rb, (0, pad))
 
-        def body(args):
+        def body(df1_acc, args):
+            # df1 is ACCUMULATED in the scan carry: lax.map would stack the
+            # per-tile [S, C] f32 partials into an [n, S, C] buffer
+            # (dynamic-update-slice writes + a re-read for the final sum —
+            # ~0.6 ms/step of pure HBM traffic at the flagship shape)
             f0_tile, a_r_t, lse_r_t = args
             sim = _dot_f32(f0_tile, f1b, (((1,), (1,)), ((), ()))) * inv_temp
             p_row = jnp.exp(sim - lse_r_t[:, None])  # [tile, S] f32
@@ -178,14 +182,14 @@ def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
             dsim = (-(a_r_t[:, None] * p_row) - (a_c[None, :] * p_col)).astype(dt)
             df0_t = _dot_f32(dsim, f1b, (((1,), (0,)), ((), ()))) * inv_temp
             df1_t = _dot_f32(dsim, f0_tile, (((0,), (0,)), ((), ()))) * inv_temp
-            return df0_t, df1_t  # [tile, C] f32, [S, C] f32
+            return df1_acc + df1_t, df0_t  # carry [S, C] f32, out [tile, C]
 
-        df0_t, df1_t = jax.lax.map(
-            body, (f0p.reshape(n, tile, C), a_rp.reshape(n, tile),
-                   lse_rp.reshape(n, tile))
+        df1, df0_t = jax.lax.scan(
+            body, jnp.zeros((S, C), jnp.float32),
+            (f0p.reshape(n, tile, C), a_rp.reshape(n, tile),
+             lse_rp.reshape(n, tile)),
         )
         df0 = df0_t.reshape(-1, C)[:L]
-        df1 = jnp.sum(df1_t, axis=0)
 
         # sparse direct term: dsim[i_p, j_p] += 2 * g_p
         df0 = df0.at[gib].add((2.0 * gb)[:, None] * f1b[gjb] * inv_temp)

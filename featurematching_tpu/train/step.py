@@ -37,6 +37,20 @@ from featurematching_tpu.models.matcher import Matcher
 
 
 @flax.struct.dataclass
+class FlatOptState:
+    """Marker wrapper: the inner optax state lives on ONE flat f32 vector.
+
+    The round-3 train-step trace showed ~600-800 tiny per-leaf fusions/step
+    (adamw moments, weight decay, global-norm squares — one XLA fusion per
+    param leaf, ~5-10 us fixed cost each, ~4-5 ms/step total). Adam/adamw/
+    sgd/clip-by-global-norm are elementwise or whole-tree-uniform, so running
+    them over the raveled parameter vector is NUMERICALLY IDENTICAL while
+    lowering to a handful of large fusions."""
+
+    inner: Any
+
+
+@flax.struct.dataclass
 class TrainState:
     step: jnp.ndarray
     params: Any
@@ -45,14 +59,45 @@ class TrainState:
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
     def apply_gradients(self, grads, new_batch_stats):
-        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+        if isinstance(self.opt_state, FlatOptState):
+            from jax.flatten_util import ravel_pytree
+
+            flat_g, _ = ravel_pytree(grads)
+            flat_p, unravel = ravel_pytree(self.params)
+            updates, new_inner = self.tx.update(
+                flat_g, self.opt_state.inner, flat_p
+            )
+            new_params = unravel(flat_p + updates)
+            new_opt_state = FlatOptState(inner=new_inner)
+        else:
+            updates, new_opt_state = self.tx.update(
+                grads, self.opt_state, self.params
+            )
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
             params=new_params,
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
         )
+
+
+def make_opt_state(
+    tx: optax.GradientTransformation, params, flat: bool = False
+):
+    """Optimizer state, optionally over the raveled param vector.
+
+    flat=True is a MEASURED DEAD END on TPU (round 4): it does collapse the
+    ~400 per-leaf adamw fusions into a handful of large ones (fusion bucket
+    12.9 -> 11.8 ms/step), but every leaf's [a,b,c] -> [n] ravel and the
+    unravel slices are tiled-layout relayout copies (reshape bucket
+    2.8 -> 9.3 ms/step): 65.5 -> 72.2 ms/step net. Kept for the record and
+    for non-TPU backends where reshapes are free."""
+    if not flat:
+        return tx.init(params)
+    from jax.flatten_util import ravel_pytree
+
+    return FlatOptState(inner=tx.init(ravel_pytree(params)[0]))
 
 
 def create_train_state(
@@ -69,7 +114,7 @@ def create_train_state(
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    opt_state = tx.init(params)
+    opt_state = make_opt_state(tx, params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
