@@ -466,6 +466,72 @@ def cmd_disp_to_original_depth(args) -> int:
     return 0
 
 
+def cmd_prepare_training_tree(args) -> int:
+    """Raw SCARED keyframe (data/rgb.mp4 + data/frame_data.tar.gz +
+    endoscope_calibration.yaml) -> the TRAINING layout data/scared.py reads
+    (raw_images/Left/*.png + frame_data/*.json), with the left frames
+    undistorted (reference datasets/img_distort.py:31-68) and KL written at
+    the 1280x1024 calibration resolution scared_new2's convertK assumes.
+
+    This is the bridge the reference leaves to the user between its toolkit
+    scripts and its training datasets — shipped as a CLI here so the full
+    raw-download -> training journey is scripted end to end
+    (tests/test_end_to_end.py raw rehearsal)."""
+    import cv2
+
+    from featurematching_tpu.data.scared import RAW_H, RAW_W
+
+    n = 0
+    for kf in _keyframe_dirs(args.root_dir, args.recursive):
+        out_dir = (
+            Path(args.out_dir) / kf.parent.name / kf.name if args.out_dir else kf
+        )
+        img_dir = out_dir / "raw_images" / "Left"
+        json_dir = out_dir / "frame_data"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        json_dir.mkdir(parents=True, exist_ok=True)
+
+        _, calib = _load_stereo_calib(kf / "endoscope_calibration.yaml")
+        K1, D1 = calib["K1"], calib["D1"]
+        poses = tio.load_pose_sequence(kf / "data" / "frame_data.tar.gz")
+
+        video = None
+        if (kf / "data" / "rgb.mp4").is_file():
+            video = tio.StereoVideoCapture(kf / "data" / "rgb.mp4")
+        for fid in sorted(poses):
+            if video is not None:
+                ok, (left, _right) = video.read()
+                if not ok:
+                    break
+            else:
+                left = cv2.imread(str(kf / "Left_Image.png"))
+            und, newK = undistort(left, K1, D1)
+            h, w = und.shape[:2]
+            # store intrinsics at the raw calibration resolution so the
+            # dataset's convert_K rescale round-trips exactly
+            K_cal = newK.copy()
+            K_cal[0, :] *= RAW_W / w
+            K_cal[1, :] *= RAW_H / h
+            name = f"frame{fid:06d}"
+            cv2.imwrite(str(img_dir / (name + ".png")), und)
+            rec = {
+                "camera-pose": np.asarray(poses[fid], np.float64).tolist(),
+                "camera-calibration": {
+                    "KL": K_cal.tolist(),
+                    "DL": np.zeros(5).tolist(),  # undistorted
+                    "KR": K_cal.tolist(),
+                    "DR": np.zeros(5).tolist(),
+                },
+            }
+            with open(json_dir / (name + ".json"), "w") as f:
+                json.dump(rec, f)
+            n += 1
+        if video is not None:
+            video.release()
+    print(f"prepared {n} training frame(s)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -537,6 +603,12 @@ def main(argv=None) -> int:
     sp.add_argument("dst_dataset")
     sp.add_argument("--overwrite", action="store_true")
     sp.set_defaults(fn=cmd_aggregate_keyframes)
+
+    sp = sub.add_parser("prepare-training-tree")
+    sp.add_argument("root_dir")
+    sp.add_argument("--out-dir", default=None)
+    sp.add_argument("-r", "--recursive", action="store_true")
+    sp.set_defaults(fn=cmd_prepare_training_tree)
 
     sp = sub.add_parser("disparity-to-original-depthmap")
     sp.add_argument("disparity_dir")

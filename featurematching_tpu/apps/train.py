@@ -103,6 +103,10 @@ def main(argv=None) -> int:
     p.add_argument("--synthetic-pairs", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--warmup-steps", type=int, default=None)
+    p.add_argument("--native-cache", default=None, metavar="PATH.fmtp",
+                   help="use the native C++ mmap/threadpool loader through a "
+                        "binary sample cache at PATH (built on first run; "
+                        "3.2-7.6x the Python loader, benchmarks/loader_bench)")
     p.add_argument("--lr", type=float, default=None,
                    help="canonical LR override (scaled by batch/canonical_bs)")
     args = p.parse_args(argv)
@@ -110,7 +114,7 @@ def main(argv=None) -> int:
     import jax
 
     import featurematching_tpu as fm
-    from featurematching_tpu.data.loader import BatchLoader, ConcatDataset, train_val_split
+    from featurematching_tpu.data.loader import BatchLoader, ConcatDataset, make_loader, train_val_split
     from featurematching_tpu.train.runner import Runner
 
     datasets = build_datasets(args)
@@ -164,8 +168,20 @@ def main(argv=None) -> int:
         ),
     )
 
-    tl = BatchLoader(train_ds, args.batch, seed=args.seed)
-    vl = BatchLoader(val_ds, args.batch, shuffle=False, drop_last=False) if val_ds else None
+    if args.native_cache:
+        # live-input production path: one-time cache build, then the C++
+        # loader feeds Runner.fit without the GIL (auto-falls back to the
+        # Python loader when the toolchain is unavailable)
+        tl = make_loader(train_ds, args.batch, cache_path=args.native_cache,
+                         build_cache=True, seed=args.seed)
+        vl = make_loader(
+            val_ds, args.batch,
+            cache_path=args.native_cache.replace(".fmtp", "") + "_val.fmtp",
+            build_cache=True, shuffle=False, drop_last=False,
+        ) if val_ds else None
+    else:
+        tl = BatchLoader(train_ds, args.batch, seed=args.seed)
+        vl = BatchLoader(val_ds, args.batch, shuffle=False, drop_last=False) if val_ds else None
     runner = Runner(cfg, tl, vl, workdir=args.workdir, resume=not args.no_resume)
     results = runner.fit(args.epochs)
     print("final:", results)

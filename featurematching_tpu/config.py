@@ -325,3 +325,33 @@ def tiny_test_config() -> Config:
         compute_dtype="float32",
     )
     return Config(model=model)
+
+
+def config_to_dict(cfg: Any) -> dict:
+    """Nested frozen-dataclass config -> plain dict (json-serializable)."""
+    import dataclasses as _dc
+
+    return _dc.asdict(cfg)
+
+
+def config_from_dict(cls: Any, d: dict) -> Any:
+    """Inverse of config_to_dict: rebuild `cls` (and nested config
+    dataclasses) from a plain dict; json round trips lists back to the
+    tuples the frozen configs declare."""
+    import dataclasses as _dc
+    import typing
+
+    kwargs = {}
+    for f in _dc.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        t = f.type
+        if isinstance(t, str):  # from __future__ annotations
+            t = typing.get_type_hints(cls).get(f.name, t)
+        if _dc.is_dataclass(t) and isinstance(v, dict):
+            v = config_from_dict(t, v)
+        elif isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kwargs[f.name] = v
+    return cls(**kwargs)

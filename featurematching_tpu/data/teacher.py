@@ -71,8 +71,18 @@ def make_teacher_fn(
     from featurematching_tpu.config import loftr_tiny_config
     from featurematching_tpu.models.matcher import Matcher
 
-    cfg = cfg or loftr_tiny_config()
-    model_cfg = dc.replace(cfg.model, coarse_only=True)
+    native = None
+    if ckpt and ckpt.endswith(".npz"):
+        # native TRAINED teacher: the npz carries its own ModelConfig.
+        # coarse_only is NOT forced — the saved params cover whatever
+        # submodules the teacher was trained with, and the match fn only
+        # consumes the coarse outputs either way.
+        saved_cfg, native_params, native_stats = load_teacher_ckpt(ckpt)
+        native = (native_params, native_stats)
+        model_cfg = saved_cfg
+    else:
+        cfg = cfg or loftr_tiny_config()
+        model_cfg = dc.replace(cfg.model, coarse_only=True)
     if thr is not None:
         model_cfg = dc.replace(
             model_cfg, match_coarse=dc.replace(model_cfg.match_coarse, thr=thr)
@@ -89,7 +99,10 @@ def make_teacher_fn(
         nonlocal variables
         if variables:
             return
-        if ckpt:
+        if native is not None:
+            params = jax.tree.map(jnp.asarray, native[0])
+            stats = jax.tree.map(jnp.asarray, native[1])
+        elif ckpt:
             from featurematching_tpu.utils.torch_convert import (
                 load_loftr_tiny_checkpoint,
             )
@@ -151,3 +164,46 @@ def deep_match_paths(match_fn: MatchFn) -> Callable[[str, str], Tuple[np.ndarray
         return match_fn(g0, g1)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# native teacher checkpoints (round 4): a TRAINED teacher, not just the
+# converted-official-LoFTR path. The npz carries both the weights and the
+# ModelConfig json so the loader reconstructs the exact teacher architecture.
+# ---------------------------------------------------------------------------
+
+
+def save_teacher_ckpt(path: str, model_cfg, params, batch_stats) -> None:
+    """Save a trained matcher as a frozen-teacher checkpoint (.npz)."""
+    import json
+
+    from flax.traverse_util import flatten_dict
+
+    from featurematching_tpu.config import config_to_dict
+
+    arrs = {}
+    for k, v in flatten_dict(params).items():
+        arrs["p:" + "/".join(k)] = np.asarray(v)
+    for k, v in flatten_dict(batch_stats or {}).items():
+        arrs["s:" + "/".join(k)] = np.asarray(v)
+    arrs["cfg_json"] = np.frombuffer(
+        json.dumps(config_to_dict(model_cfg)).encode(), np.uint8
+    )
+    np.savez_compressed(path, **arrs)
+
+
+def load_teacher_ckpt(path: str):
+    """Load a native teacher checkpoint -> (model_cfg, params, batch_stats)."""
+    import json
+
+    from flax.traverse_util import unflatten_dict
+
+    from featurematching_tpu.config import ModelConfig, config_from_dict
+
+    z = dict(np.load(path))
+    cfg = config_from_dict(
+        ModelConfig, json.loads(bytes(z.pop("cfg_json")).decode())
+    )
+    p = {tuple(k[2:].split("/")): v for k, v in z.items() if k.startswith("p:")}
+    s = {tuple(k[2:].split("/")): v for k, v in z.items() if k.startswith("s:")}
+    return cfg, unflatten_dict(p), unflatten_dict(s)

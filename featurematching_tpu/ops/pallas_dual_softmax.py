@@ -177,21 +177,18 @@ def _pick_row_tile(L: int, max_tile: int) -> int:
     return L
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
-def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
-    B, L, C = feat0.shape
-    S = feat1.shape[1]
-    row_tile = _pick_row_tile(L, row_tile)
+def _pass1_stats(f0, f1, row_tile, interpret):
+    """Pass 1 over a (local) S extent: returns rowm/rowz [B, L] (rowz shifted
+    by the LOCAL row max) and combined col stats colm/colz [B, S].
+    f0 must already carry the inv_temp scaling."""
+    B, L, C = f0.shape
+    S = f1.shape[1]
     n_tiles = L // row_tile
-    f0 = (feat0.astype(jnp.float32) * inv_temp).astype(feat0.dtype)
-    f1 = feat1
 
     # NOTE on output shapes: Mosaic requires the last block dim be /128 or the
     # full array dim. row_tile (480 for L=4800) is neither, so all per-row
     # outputs/inputs are shaped [B, n_tiles, row_tile] (last dim = full) and
     # flattened to [B, L] afterwards in XLA.
-
-    # ---- pass 1: row stats + partial col stats
     rowm, rowz, colm_p, colz_p = pl.pallas_call(
         _stats_kernel,
         grid=(B, n_tiles),
@@ -217,12 +214,23 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
     # flash-combine partial col stats across row tiles (tiny, XLA)
     colm = jnp.max(colm_p, axis=1)  # [B, S]
     colz = jnp.sum(colz_p * jnp.exp(colm_p - colm[:, None, :]), axis=1)
+    return rowm.reshape(B, L), rowz.reshape(B, L), colm, colz
 
-    # [B, n_tiles, 2, row_tile] / [B, 2, S]
-    row_stat = jnp.stack([rowm, jnp.log(rowz)], axis=2)
-    col_stat = jnp.stack([colm, jnp.log(colz)], axis=1)
 
-    # ---- pass 2: fused conf reductions
+def _pass2_conf(f0, f1, lse_r, col_stat, row_tile, interpret):
+    """Pass 2: fused conf reductions given FINAL row logsumexp lse_r [B, L]
+    and col_stat [B, 2, S]. Returns (rowmax, rowarg [B, L]; colmax, colarg
+    [B, S] — col argmax in GLOBAL row ids)."""
+    B, L, C = f0.shape
+    S = f1.shape[1]
+    n_tiles = L // row_tile
+    # pass-2 kernel reads [m_r; logZ_r] and uses their SUM — feed (lse_r, 0)
+    zeros = jnp.zeros_like(lse_r)
+    row_stat = jnp.stack(
+        [lse_r.reshape(B, n_tiles, row_tile), zeros.reshape(B, n_tiles, row_tile)],
+        axis=2,
+    )
+
     rowmax, rowarg, colmax_p, colarg_p = pl.pallas_call(
         _conf_kernel,
         grid=(B, n_tiles),
@@ -253,7 +261,22 @@ def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
     best_tile = jnp.argmax(colmax_p, axis=1)  # [B, S]
     colmax = jnp.take_along_axis(colmax_p, best_tile[:, None, :], axis=1)[:, 0]
     colarg = jnp.take_along_axis(colarg_p, best_tile[:, None, :], axis=1)[:, 0]
+    return rowmax, rowarg, colmax, colarg
 
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
+    B, L, C = feat0.shape
+    row_tile = _pick_row_tile(L, row_tile)
+    f0 = (feat0.astype(jnp.float32) * inv_temp).astype(feat0.dtype)
+    f1 = feat1
+
+    rowm, rowz, colm, colz = _pass1_stats(f0, f1, row_tile, interpret)
+    lse_r = rowm + jnp.log(rowz)
+    col_stat = jnp.stack([colm, jnp.log(colz)], axis=1)
+    rowmax, rowarg, colmax, colarg = _pass2_conf(
+        f0, f1, lse_r, col_stat, row_tile, interpret
+    )
     return MatchStats(
         row_max=rowmax, row_argmax=rowarg, col_max=colmax, col_argmax=colarg
     )

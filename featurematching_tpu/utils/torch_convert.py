@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 SD = Dict[str, np.ndarray]
@@ -304,3 +305,68 @@ def convert_matcher(
             sd, n_pose_layers, prefix="pose_pred."
         )
     return params, stats
+
+
+def make_deconverter(template_sd: SD, coarse_layers: int, fine_layers: int):
+    """Inverse of convert_matcher: flax params -> reference torch state_dict.
+
+    Built MECHANICALLY from convert_matcher itself via value provenance:
+    every element of the template sd is replaced by a unique global integer
+    id, run through convert_matcher, and the resulting flax leaves then give
+    an elementwise (torch key, flat index) provenance map. This inverts ANY
+    value-preserving rearrangement (transposes, conv flips, concats/splits)
+    without per-layer code, and cannot drift from the forward mapping.
+    Exactness requires total element count < 2^24 (f32 integer range) —
+    asserted. Torch keys convert_matcher never reads (constant buffers like
+    attn_mask, num_batches_tracked) pass through with template values.
+
+    Returns deconvert(params) -> sd (numpy, template dtypes/shapes).
+    """
+    keys = list(template_sd.keys())
+    sizes = {k: int(np.prod(template_sd[k].shape)) or 1 for k in keys}
+    total = sum(sizes.values())
+    assert total < (1 << 24), f"{total} params exceed exact-f32 id range"
+    offsets = {}
+    off = 0
+    for k in keys:
+        offsets[k] = off
+        off += sizes[k]
+    tagged = {
+        k: (offsets[k] + np.arange(sizes[k], dtype=np.float32)).reshape(
+            template_sd[k].shape
+        )
+        for k in keys
+    }
+    tp, _ = convert_matcher(tagged, coarse_layers, fine_layers)
+    prov_leaves = [
+        np.asarray(x).astype(np.int64).reshape(-1)
+        for x in jax.tree_util.tree_leaves(tp)
+    ]
+    treedef = jax.tree_util.tree_structure(tp)
+
+    def deconvert(params) -> SD:
+        got_leaves = jax.tree_util.tree_leaves(params)
+        got_def = jax.tree_util.tree_structure(params)
+        assert got_def == treedef, (
+            f"param tree mismatch:\n{got_def}\nvs template\n{treedef}"
+        )
+        flat = np.zeros(total, np.float64)
+        for prov, leaf in zip(prov_leaves, got_leaves):
+            leaf = np.asarray(leaf, np.float64).reshape(-1)
+            assert leaf.shape == prov.shape, (leaf.shape, prov.shape)
+            flat[prov] = leaf
+        out: SD = {}
+        for k in keys:
+            t = template_sd[k]
+            sl = flat[offsets[k] : offsets[k] + sizes[k]]
+            out[k] = sl.reshape(t.shape).astype(t.dtype)
+        # keys never consumed by convert_matcher keep their template values
+        consumed = np.zeros(total, bool)
+        for prov in prov_leaves:
+            consumed[prov] = True
+        for k in keys:
+            if not consumed[offsets[k] : offsets[k] + sizes[k]].any():
+                out[k] = np.asarray(template_sd[k])
+        return out
+
+    return deconvert

@@ -67,3 +67,133 @@ class TestFullUserStory:
              "--thr", "0.001", "--out", vis, "--ckpt", ckpt_dir]
         )
         assert rc == 0 and os.path.exists(vis)
+
+
+@pytest.mark.slow
+class TestRawFormatRehearsal:
+    """VERDICT round-3 #9: the full raw-download journey, scripted.
+
+    Raw SCARED-format keyframe (stacked stereo video + frame_data pose tar +
+    distorted calibration yaml) -> `scared_toolkit prepare-training-tree`
+    (undistort + training layout) -> pseudo-GT caches (sift + frozen-teacher
+    union) -> 2-epoch train -> evaluate -> sfm trajectory + ATE vs the tar's
+    ground-truth poses. When real SCARED data arrives only the download is
+    missing."""
+
+    def _build_raw_keyframe(self, root, n_frames=8, H=96, W=128, seed=3):
+        import io as _io
+        import json as _json
+        import tarfile
+        import time as _time
+
+        import cv2
+
+        from featurematching_tpu.toolkit.calibration import StereoCalibrator
+
+        kf = os.path.join(root, "dataset_9", "keyframe_1")
+        os.makedirs(os.path.join(kf, "data"), exist_ok=True)
+        K = np.array([[150.0, 0, W / 2], [0, 150.0, H / 2], [0, 0, 1.0]])
+        D = np.array([-0.05, 0.01, 0.0, 0.0, 0.0])
+        sc = StereoCalibrator((0, 0), 0.0)
+        sc.calib = {
+            "K1": K, "D1": D, "K2": K, "D2": D,
+            "R": np.eye(3), "T": np.array([[5.0], [0.0], [0.0]]),
+        }
+        sc.save(os.path.join(kf, "endoscope_calibration.yaml"))
+
+        # textured scene drifting a few px/frame: consecutive frames share
+        # content so SIFT/RANSAC and the sfm two-view chain have real signal
+        rng = np.random.default_rng(seed)
+        base = cv2.GaussianBlur(
+            rng.integers(0, 255, (H, 2 * W, 3), np.uint8), (0, 0), 1.0
+        )
+        vw = cv2.VideoWriter(
+            os.path.join(kf, "data", "rgb.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 10, (W, 2 * H),
+        )
+        assert vw.isOpened()
+        for i in range(n_frames):
+            left = base[:, 3 * i : 3 * i + W]
+            vw.write(np.vstack([left, left]))
+        vw.release()
+
+        now = _time.time()
+        with tarfile.open(
+            os.path.join(kf, "data", "frame_data.tar.gz"), "w:gz"
+        ) as tar:
+            for i in range(n_frames):
+                T = np.eye(4)
+                T[0, 3] = 0.4 * i  # camera translating in x
+                payload = _json.dumps({"camera-pose": T.tolist()}).encode()
+                info = tarfile.TarInfo(f"frame_data{i:06d}.json")
+                info.size = len(payload)
+                info.mtime = now
+                tar.addfile(info, _io.BytesIO(payload))
+        return kf
+
+    def test_raw_to_ate(self, tmp_path):
+        from featurematching_tpu.apps.build_cache import main as cache_main
+        from featurematching_tpu.apps.evaluate import main as eval_main
+        from featurematching_tpu.apps.scared_toolkit_cli import main as tk_main
+        from featurematching_tpu.apps.sfm import main as sfm_main
+        from featurematching_tpu.apps.train import main as train_main
+        from featurematching_tpu.sfm.pipeline import ate_rmse
+        from featurematching_tpu.toolkit.io import load_pose_sequence
+
+        raw = str(tmp_path / "raw")
+        kf = self._build_raw_keyframe(raw)
+
+        # 1. raw -> training tree (undistorted left frames + frame jsons)
+        assert tk_main(["prepare-training-tree", raw, "-r"]) == 0
+        assert os.path.isdir(os.path.join(kf, "raw_images", "Left"))
+        assert len(os.listdir(os.path.join(kf, "frame_data"))) == 8
+
+        # 2. pseudo-GT caches: sift, then the union source (frozen teacher)
+        assert cache_main(["sift", kf, "--max-keypoints", "512"]) == 0
+        assert cache_main(
+            ["matches", kf, "--gaps", "1", "--source", "union",
+             "--teacher-thr", "1e-8", "--min-inliers", "10"]
+        ) == 0
+
+        # 3. train 2 epochs through the CLI
+        workdir = str(tmp_path / "run")
+        rc = train_main(
+            ["scared", kf, "--workdir", workdir, "--epochs", "2",
+             "--batch", "2", "--size", "128", "96", "--num-gt", "64",
+             "--min-inliers", "10", "--val-fraction", "0.3"]
+        )
+        assert rc == 0
+        ckpt_dir = os.path.join(workdir, "ckpt")
+        assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+        # 4. evaluate
+        out = str(tmp_path / "metrics.json")
+        rc = eval_main(
+            ["scared", kf, "--batch", "2", "--size", "128", "96",
+             "--out", out, "--limit", "4", "--ckpt", ckpt_dir]
+        )
+        assert rc == 0
+
+        # 5. sfm trajectory over the undistorted frames + ATE vs tar poses
+        traj_path = str(tmp_path / "traj.txt")
+        rc = sfm_main(
+            [os.path.join(kf, "raw_images", "Left"), "--size", "128", "96",
+             "--intrinsics", "150", "150", "64", "48",
+             "--ckpt", ckpt_dir, "--thr", "0.001", "--out", traj_path,
+             "--max-frames", "8"]
+        )
+        assert rc == 0 and os.path.exists(traj_path)
+        rows = np.atleast_2d(np.loadtxt(traj_path))
+        assert rows.shape[0] == 8
+        from scipy.spatial.transform import Rotation
+
+        est = []
+        for r in rows:  # TUM: t tx ty tz qx qy qz qw (camera-to-world)
+            T = np.eye(4)
+            T[:3, :3] = Rotation.from_quat(r[4:8]).as_matrix()
+            T[:3, 3] = r[1:4]
+            est.append(np.linalg.inv(T))  # ate_rmse takes world->cam poses
+        gt = [np.linalg.inv(np.asarray(p)) for p in load_pose_sequence(
+            os.path.join(kf, "data", "frame_data.tar.gz")).values()]
+        ate = ate_rmse(np.stack(est), np.stack(gt))
+        assert np.isfinite(ate)

@@ -6,6 +6,7 @@ Regenerate intentionally with:
     python -m tests.test_golden_regression --regenerate
 """
 
+import pytest
 import os
 
 import jax
@@ -38,6 +39,7 @@ def _compute_outputs():
 
 
 class TestGoldenRegression:
+    @pytest.mark.slow
     def test_matches_stored_golden(self):
         assert os.path.exists(GOLDEN), (
             "golden file missing — run `python -m tests.test_golden_regression"

@@ -257,3 +257,47 @@ class TestPatchExpandLN:
         assert len(got) == len(refs)
         for g, r in zip(got, refs):
             np.testing.assert_allclose(np.asarray(g), r, atol=5e-4)
+
+
+class TestShardedFusedStats:
+    """The fused (Pallas per-shard) sequence-parallel path returns the same
+    match statistics as the single-device XLA reference and the sharded XLA
+    formulation — on an 8-device virtual mesh, interpret mode."""
+
+    def test_fused_equals_xla_sharded_and_single(self, rng):
+        import jax
+        from jax.sharding import Mesh
+        from featurematching_tpu.ops.pallas_dual_softmax import (
+            dual_softmax_match_stats,
+        )
+        from featurematching_tpu.ops.sharded_matching import (
+            dual_softmax_match_stats_sharded,
+        )
+
+        B, L, S, C = 2, 64, 64, 16
+        f0 = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+        f1 = jnp.asarray(rng.standard_normal((B, S, C)).astype(np.float32))
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+
+        single = dual_softmax_match_stats(f0, f1, impl="xla")
+        xla_sh = dual_softmax_match_stats_sharded(f0, f1, mesh, impl="xla")
+        fused = dual_softmax_match_stats_sharded(
+            f0, f1, mesh, impl="pallas", interpret=True
+        )
+        # match sets: argmaxes identical across all three
+        np.testing.assert_array_equal(
+            np.asarray(single.row_argmax), np.asarray(fused.row_argmax)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(single.col_argmax), np.asarray(fused.col_argmax)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(xla_sh.row_argmax), np.asarray(fused.row_argmax)
+        )
+        # conf maxima agree to fp32 merge-order noise
+        np.testing.assert_allclose(
+            np.asarray(single.row_max), np.asarray(fused.row_max), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(single.col_max), np.asarray(fused.col_max), rtol=1e-5
+        )

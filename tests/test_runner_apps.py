@@ -475,3 +475,26 @@ class TestRunnerNativeLoader:
         runner = Runner(cfg, tl, vl, workdir=str(tmp_path / "run"))
         results = runner.fit(num_epochs=1)
         assert "auc@5" in results and np.isfinite(results["val/loss"])
+
+
+class TestTrainAppNativeLoader:
+    @pytest.mark.slow
+    def test_train_cli_with_native_cache(self, tmp_path):
+        """apps.train --native-cache: Runner.fit runs with the C++ loader
+        feeding the input pipeline (falls back to Python loader when the
+        toolchain is unavailable — either way the CLI must succeed)."""
+        import os
+
+        from featurematching_tpu.apps.train import main as train_main
+
+        workdir = str(tmp_path / "run")
+        cache = str(tmp_path / "cache.fmtp")
+        rc = train_main(
+            ["synthetic", "--workdir", workdir, "--epochs", "1",
+             "--batch", "2", "--size", "128", "96", "--num-gt", "64",
+             "--synthetic-pairs", "8", "--val-fraction", "0.25",
+             "--native-cache", cache]
+        )
+        assert rc == 0
+        assert os.path.exists(cache)  # cache was built
+        assert os.path.exists(os.path.join(workdir, "logs", "metrics.jsonl"))

@@ -46,6 +46,7 @@ class TestTeacherFn:
         assert len(k0) >= 1
         np.testing.assert_allclose(k0, k1)
 
+    @pytest.mark.slow
     def test_pad_to_multiple_filters_pad_matches(self, rng):
         # non-multiple size pads to 64x64 (coarse stride 8); every surviving
         # keypoint must lie inside the ORIGINAL bounds (count is not asserted:
