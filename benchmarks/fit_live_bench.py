@@ -1,0 +1,181 @@
+"""Runner.fit throughput with a LIVE input pipeline (loader-in-the-loop).
+
+Every train-step number so far (benchmarks/train_step_bench.py) feeds the
+SAME in-memory device batch every iteration — the input pipeline is out of
+the picture. The reference trains through torch DataLoader workers +
+pin_memory (lightning_new.py:160-180); our production equivalent is the
+native C++ mmap/threadpool loader (native/fmtpu_loader.cpp, selected by
+data/loader.make_loader) feeding Runner-style double-buffered device_put
+prefetch (train/runner.py:_device_prefetch).
+
+This bench measures ms/step of the jitted train step at the flagship
+operating point (640x480 batch-4 bf16) with the input pipeline LIVE, in one
+process, three feeds A/B'd against each other:
+
+  - synthetic-feed: same device batch every step (= train_step_bench)
+  - python-loader:  data/loader.BatchLoader (host threads, numpy collate)
+  - native-loader:  C++ loader over an on-disk .fmtp cache
+
+VERDICT round-3 weak #7 / next-round #5: "wire the native loader into
+Runner and measure a live-input fit ... within ~5% of the synthetic-feed
+number".
+
+    python benchmarks/fit_live_bench.py [--pairs 64] [--iters 40]
+        [--out benchmarks/fit_live.json]
+
+Tunnel rules honored: persistent compile cache, scalar-fetch sync.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class SynthPairs:
+    """Fixed pool of synthetic pairs with the sample layout the loaders
+    expect (single-sample dicts; the loader collates)."""
+
+    def __init__(self, n: int, seed: int, num_gt: int = 512):
+        from featurematching_tpu.data.synthetic import synthetic_batch
+
+        rng = np.random.default_rng(seed)
+        self.samples = []
+        for _ in range(n):
+            b = synthetic_batch(rng, batch_size=1, image_size=(480, 640), num_gt=num_gt)
+            self.samples.append({k: np.asarray(v[0]) for k, v in b.items()})
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def timed_fit_window(runner, iters: int, warmup: int = 6):
+    """Run fit's exact inner loop (loader epoch -> prefetch -> train_step)
+    and time a steady-state window. Scalar fetch = completion barrier."""
+    import itertools
+
+    import jax
+
+    rng = jax.random.PRNGKey(1)
+    step_fn = runner.train_step
+    state = runner.state
+
+    def batches():
+        epoch = 0
+        while True:
+            yield from runner._device_prefetch(runner.train_loader.epoch(epoch))
+            epoch += 1
+
+    it = batches()
+    # warmup covers compile + loader thread spin-up
+    for _ in range(warmup):
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, next(it), k)
+    _ = float(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(iters):
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, next(it), k)
+    loss = float(metrics["loss"])
+    dt = (time.time() - t0) / iters
+    runner.state = state
+    return dt * 1e3, loss
+
+
+def run(pairs: int, iters: int, cache: str, workdir: str):
+    import jax
+    import jax.numpy as jnp
+
+    import featurematching_tpu as fm
+    from featurematching_tpu.data.loader import BatchLoader, make_loader
+    from featurematching_tpu.train.runner import Runner
+
+    cfg = fm.default_config()
+    ds = SynthPairs(pairs, seed=0)
+
+    results = {}
+
+    # --- python loader ---
+    pl = BatchLoader(ds, 4, seed=0)
+    runner = Runner(cfg, pl, None, workdir=workdir, resume=False)
+    ms, loss = timed_fit_window(runner, iters)
+    results["python_loader_ms"] = ms
+    print(json.dumps({"feed": "python-loader", "ms_per_step": ms, "loss": loss}), flush=True)
+
+    # --- native loader over an on-disk cache (reuses the jitted step via a
+    # fresh Runner; compile cache makes re-jit free) ---
+    nl = make_loader(ds, 4, cache_path=cache, build_cache=True, seed=0)
+    results["native_loader_kind"] = type(nl).__name__
+    runner2 = Runner(cfg, nl, None, workdir=workdir + "_n", resume=False)
+    ms, loss = timed_fit_window(runner2, iters)
+    results["native_loader_ms"] = ms
+    print(json.dumps({"feed": "native-loader", "kind": type(nl).__name__,
+                      "ms_per_step": ms, "loss": loss}), flush=True)
+
+    # --- synthetic feed (same device batch every step), same process ---
+    sample = next(iter(BatchLoader(ds, 4, seed=0).epoch(0)))
+    from featurematching_tpu.train.runner import shard_batch
+
+    sbatch = shard_batch(jax.tree.map(jnp.asarray, sample), runner2.mesh)
+    rng = jax.random.PRNGKey(1)
+    state = runner2.state
+    for _ in range(4):
+        rng, k = jax.random.split(rng)
+        state, metrics = runner2.train_step(state, sbatch, k)
+    _ = float(metrics["loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        rng, k = jax.random.split(rng)
+        state, metrics = runner2.train_step(state, sbatch, k)
+    _ = float(metrics["loss"])
+    ms = (time.time() - t0) / iters * 1e3
+    results["synthetic_feed_ms"] = ms
+    print(json.dumps({"feed": "synthetic", "ms_per_step": ms}), flush=True)
+
+    results["native_vs_synthetic_pct"] = (
+        100.0 * (results["native_loader_ms"] - ms) / ms
+    )
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--cache", default="/tmp/fit_live_cache.fmtp")
+    ap.add_argument("--workdir", default="/tmp/fit_live_run")
+    ap.add_argument("--out", default="benchmarks/fit_live.json")
+    args = ap.parse_args()
+
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/fmtpu_jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    res = run(args.pairs, args.iters, args.cache, args.workdir)
+    res["pairs"] = args.pairs
+    res["iters"] = args.iters
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,10 @@ def main():
     ap.add_argument("--clip", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--state", default="", help="reuse a saved torch init npz")
-    ap.add_argument("--out-sd", default="/tmp/swin_warm.npz")
+    ap.add_argument("--pool-file", default="",
+                    help="pre-generated pool npz (benchmarks/gen_pool.py); "
+                         "skips the ~29 min in-process serial generation")
+    ap.add_argument("--out-sd", default="ckpts/swin_warm.npz")
     ap.add_argument("--out-log", default="benchmarks/swin_pretrain_log.json")
     ap.add_argument("--log-every", type=int, default=500)
     args = ap.parse_args()
@@ -136,9 +139,14 @@ def main():
     eval_step = jax.jit(make_eval_step(model, cfg))
 
     rng = np.random.default_rng(args.seed)
-    print(f"[pretrain] generating pool of {args.pool} pairs...", flush=True)
     t0 = time.time()
-    pool = gen_pool(rng, args.pool, H, W, NUM_GT)
+    if args.pool_file:
+        pool = dict(np.load(args.pool_file))
+        args.pool = len(next(iter(pool.values())))
+        print(f"[pretrain] pool of {args.pool} pairs from {args.pool_file}", flush=True)
+    else:
+        print(f"[pretrain] generating pool of {args.pool} pairs...", flush=True)
+        pool = gen_pool(rng, args.pool, H, W, NUM_GT)
     probe = gen_pool(np.random.default_rng(args.seed + 999), 16, H, W, NUM_GT)
     probe_dev = {k: jnp.asarray(v) for k, v in probe.items()}
     print(f"[pretrain] pool ready in {time.time()-t0:.0f}s", flush=True)

@@ -395,12 +395,15 @@ def ref_batch(pair: dict, torch) -> dict:
 
 def run_reference(
     pairs, n_train, order, lr, seed, arch=TINY, state_path="", warmup=0, clip=0.0,
-    pose="none",
+    pose="none", init_from="",
 ):
     """Train + evaluate the reference. Returns (metrics, losses, init_sd).
 
     If state_path is given, the shared init is saved BEFORE training starts,
-    so the ours-side process can train in parallel from the same weights."""
+    so the ours-side process can train in parallel from the same weights.
+    If init_from is given, the matcher warm-starts from that reference-format
+    state-dict npz (e.g. the TPU-pretrained Swin warm init exported by
+    benchmarks/swin_pretrain.py via make_deconverter) instead of torch init."""
     import torch
 
     from featurematching_tpu.utils.ref_oracle import load_ref_module, sd_numpy
@@ -420,6 +423,13 @@ def run_reference(
         if type(m).__name__ == "DropPath":
             m.drop_prob = 0.0
     loss_fn = loss_mod.Loss({"module": mcfg})
+    if init_from:
+        warm = dict(np.load(init_from))
+        matcher.load_state_dict(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in warm.items()},
+            strict=True,
+        )
+        print(f"[ref] warm-started from {init_from}", file=sys.stderr, flush=True)
     init_sd = sd_numpy(matcher)
     if state_path:
         np.savez_compressed(state_path, **init_sd)
@@ -668,7 +678,7 @@ def run_ours(
         m0 = np.asarray(out.fine.mkpts0_f[0, :, :2])[mask]
         m1 = np.asarray(out.fine.mkpts1_f[0, :, :2])[mask]
         per_pair.append(np.concatenate([m0, m1], -1))
-        if pose == "new" and out.T_0to1_pred is not None:
+        if pose in ("new", "new_fixed") and out.T_0to1_pred is not None:
             head_T.append(np.asarray(out.T_0to1_pred[0], np.float64))
     metrics = evaluate_matches(per_pair, pairs[n_train:])
     if head_T:
@@ -713,16 +723,22 @@ def main():
     ap.add_argument("--clip", type=float, default=0.0,
                     help="global grad-norm clip, mirrored on both sides "
                          "(the reference trainer uses 0.5, config.py:152)")
-    ap.add_argument("--pose", choices=("none", "new"), default="none",
+    ap.add_argument("--pose", choices=("none", "new", "new_fixed"), default="none",
                     help="train the quaternion pose head on BOTH sides "
                          "(re-adds the reference's commented-out loss "
-                         "accumulation, loss.py:169); requires coarse_d=256")
+                         "accumulation, loss.py:169); requires coarse_d=256. "
+                         "'new_fixed' is OURS-ONLY (the repaired per-direction "
+                         "L2 head has no reference counterpart; use --side "
+                         "ours + --ref-json to compare against a 'new' run)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--scene", choices=("plane", "two_plane"), default="plane")
     ap.add_argument("--sparse", choices=("arch", "on", "off"), default="arch",
                     help="override the arch's sparse_spvs (diagnostics)")
     ap.add_argument("--side", choices=("both", "ref", "ours"), default="both")
     ap.add_argument("--state", default="", help="npz path for the shared torch init")
+    ap.add_argument("--init-from", default="",
+                    help="warm-start BOTH sides from this reference-format "
+                         "state-dict npz (swin_pretrain.py export)")
     ap.add_argument("--ref-json", default="", help="--side ours: merge this ref result")
     ap.add_argument("--ours-platform", choices=("cpu", "device"), default="cpu")
     ap.add_argument("--ours-dtype", choices=("auto", "float32", "bfloat16"), default="auto")
@@ -731,6 +747,8 @@ def main():
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
+    if args.pose == "new_fixed" and args.side != "ours":
+        ap.error("--pose new_fixed is ours-only; use --side ours (+ --ref-json)")
     arch = dict(ARCHS[args.arch])
     if args.sparse != "arch":
         arch["sparse_spvs"] = args.sparse == "on"
@@ -780,7 +798,7 @@ def main():
         ref_metrics, ref_losses, init_sd = run_reference(
             pairs, args.train_pairs, order, args.lr, seed=args.seed, arch=arch,
             state_path=args.state, warmup=args.warmup, clip=args.clip,
-            pose=args.pose,
+            pose=args.pose, init_from=args.init_from,
         )
         result["reference"] = {
             **ref_metrics,
@@ -789,7 +807,7 @@ def main():
         }
         result["loss_curve_ref"] = ref_losses
     else:
-        init_sd = dict(np.load(args.state))
+        init_sd = dict(np.load(args.init_from or args.state))
         if args.ref_json:
             with open(args.ref_json) as f:
                 prev = json.load(f)
