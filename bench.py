@@ -34,6 +34,7 @@ REPS = 3  # best-of: tunnel variance is one-sided (stalls slow a rep down,
 # estimate of the chip's actual rate (observed spread ±8%)
 
 V5E_BF16_PEAK_TFLOPS = 394.0  # TPU v5e peak bf16 MXU throughput
+V5E_HBM_PEAK_GB_S = 819.0  # TPU v5e peak HBM bandwidth
 
 
 def main() -> None:
@@ -90,6 +91,7 @@ def main() -> None:
     # function (equality-tested in tests/test_fast_inference.py), so its
     # flop count is the algorithmic cost of what the fused path executes.
     flops_per_pair = None
+    bytes_per_pair = None
     try:
         import dataclasses as _dc
 
@@ -109,6 +111,24 @@ def main() -> None:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_pair = float(cost["flops"]) / BATCH
+    except Exception:
+        pass
+    try:
+        # HBM traffic of the path actually being TIMED: "bytes accessed" of
+        # the fused program = sum of operand+output bytes over its post-
+        # fusion ops. On TPU every fusion reads its operands from HBM and
+        # writes its outputs back (no cache between fusions), and Pallas
+        # custom calls are costed at exactly their operand+output bytes —
+        # which IS their HBM traffic (intermediates live in VMEM). So this
+        # is a faithful estimate of bytes moved per executed batch.
+        fcost = (
+            fwd.lower(variables, img0, img1).compile().cost_analysis()
+        )
+        if isinstance(fcost, (list, tuple)):
+            fcost = fcost[0]
+        ba = fcost.get("bytes accessed")
+        if ba is not None:
+            bytes_per_pair = float(ba) / BATCH
     except Exception:
         pass
 
@@ -145,6 +165,20 @@ def main() -> None:
         rec["model_gflops_per_pair"] = round(flops_per_pair / 1e9, 2)
         rec["mfu_pct"] = round(
             100.0 * flops_per_pair * pairs_per_s / (V5E_BF16_PEAK_TFLOPS * 1e12), 3
+        )
+    if bytes_per_pair is not None:
+        # roofline context for mfu_pct: hbm_bw_pct_peak is the achieved HBM
+        # bandwidth of the timed (fused) program vs the chip's 819 GB/s
+        # peak. Reading the two together: MFU ~3% but ~50%+ of HBM peak
+        # means the pipeline is data-movement-dominated (small-operand
+        # geometry: C=64 contractions fill half the 128-wide MXU, 49-tap
+        # fine windows pad to 56 sublanes) — the roofline bound at this
+        # operating point is the byte stream, not the FLOP stream, and the
+        # per-kernel io floors in docs/ROADMAP.md carry the rest of the
+        # speed-of-light argument.
+        rec["hbm_mb_per_pair"] = round(bytes_per_pair / 1e6, 1)
+        rec["hbm_bw_pct_peak"] = round(
+            100.0 * bytes_per_pair * pairs_per_s / (V5E_HBM_PEAK_GB_S * 1e9), 2
         )
     print(json.dumps(rec))
 

@@ -43,14 +43,20 @@ class SynthPairs:
     """Fixed pool of synthetic pairs with the sample layout the loaders
     expect (single-sample dicts; the loader collates)."""
 
-    def __init__(self, n: int, seed: int, num_gt: int = 512):
+    def __init__(self, n: int, seed: int, num_gt: int = 512, u8: bool = False):
         from featurematching_tpu.data.synthetic import synthetic_batch
 
         rng = np.random.default_rng(seed)
         self.samples = []
         for _ in range(n):
             b = synthetic_batch(rng, batch_size=1, image_size=(480, 640), num_gt=num_gt)
-            self.samples.append({k: np.asarray(v[0]) for k, v in b.items()})
+            s = {k: np.asarray(v[0]) for k, v in b.items()}
+            if u8:
+                # uint8 wire format: images as bytes (what real 8-bit frames
+                # are anyway); the train step dequantizes on device
+                for key in ("image0", "image1"):
+                    s[key] = np.clip(s[key] * 255.0, 0, 255).astype(np.uint8)
+            self.samples.append(s)
 
     def __len__(self):
         return len(self.samples)
@@ -123,6 +129,39 @@ def run(pairs: int, iters: int, cache: str, workdir: str):
     print(json.dumps({"feed": "native-loader", "kind": type(nl).__name__,
                       "ms_per_step": ms, "loss": loss}), flush=True)
 
+    # --- native loader, uint8 image wire format (4x less H2D traffic) ---
+    ds8 = SynthPairs(pairs, seed=0, u8=True)
+    nl8 = make_loader(ds8, 4, cache_path=cache + ".u8", build_cache=True, seed=0)
+    runner3 = Runner(cfg, nl8, None, workdir=workdir + "_u8", resume=False)
+    ms8, loss8 = timed_fit_window(runner3, iters)
+    results["native_loader_u8_ms"] = ms8
+    print(json.dumps({"feed": "native-loader-u8", "ms_per_step": ms8,
+                      "loss": loss8}), flush=True)
+
+    # --- transport probe: raw device_put bandwidth at both wire sizes.
+    # Over the axon tunnel H2D is the known ceiling (~15-20 MB/s, ROADMAP
+    # "tunnel platform notes"); on a real TPU host PCIe is ~GB/s and the
+    # double-buffered prefetch hides the same bytes entirely. ---
+    sample0 = ds.samples[0]
+    batch_bytes = 4 * sum(v.nbytes for v in sample0.values())
+    batch_bytes_u8 = 4 * sum(v.nbytes for v in ds8.samples[0].values())
+    for tag, nbytes in (("f32", batch_bytes), ("u8", batch_bytes_u8)):
+        buf = np.zeros(nbytes, np.uint8)
+        x = jax.device_put(buf)
+        _ = np.asarray(x[:1])  # sync
+        t0 = time.time()
+        reps = 4
+        for _ in range(reps):
+            x = jax.device_put(buf)
+            _ = np.asarray(x[:1])
+        dt = (time.time() - t0) / reps
+        results[f"h2d_{tag}_batch_ms"] = dt * 1e3
+        results[f"h2d_{tag}_mb_s"] = nbytes / dt / 1e6
+    results["batch_bytes_f32"] = batch_bytes
+    results["batch_bytes_u8"] = batch_bytes_u8
+    print(json.dumps({k: results[k] for k in results if k.startswith("h2d")}),
+          flush=True)
+
     # --- synthetic feed (same device batch every step), same process ---
     sample = next(iter(BatchLoader(ds, 4, seed=0).epoch(0)))
     from featurematching_tpu.train.runner import shard_batch
@@ -145,6 +184,9 @@ def run(pairs: int, iters: int, cache: str, workdir: str):
 
     results["native_vs_synthetic_pct"] = (
         100.0 * (results["native_loader_ms"] - ms) / ms
+    )
+    results["native_u8_vs_synthetic_pct"] = (
+        100.0 * (results["native_loader_u8_ms"] - ms) / ms
     )
     return results
 

@@ -3,7 +3,7 @@
 The round-4 pretrain run spent ~29 min generating its 4096-pair two-plane
 pool serially inside the (TPU-holding) training process. The generator is
 pure numpy (data/synthetic.py), so this script fans it out over processes
-with JAX_PLATFORMS=cpu and writes one .npz the trainer mmaps — pool
+with JAX_PLATFORMS=cpu and writes one .npz the trainer loads — pool
 generation no longer occupies the chip and is cached across reruns.
 
     python benchmarks/gen_pool.py --pairs 4096 --size 96 128 \

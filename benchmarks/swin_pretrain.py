@@ -105,6 +105,9 @@ def main():
     )
 
     H, W = args.size
+    for path in (args.state, args.out_sd, args.out_log):
+        if path and os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
     if args.state and os.path.exists(args.state):
         init_sd = dict(np.load(args.state))
     else:

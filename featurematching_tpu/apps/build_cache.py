@@ -74,6 +74,7 @@ def cmd_matches(args) -> int:
     counts = build_match_cache(
         sift_dir, pair_stems, out, args.ransac_thresh,
         deep_fn=deep_fn, image_paths=image_paths,
+        extra_gate=(args.extra_gate if args.extra_gate > 0 else None),
     )
     kept = sum(1 for c in counts.values() if c >= args.min_inliers)
     print(
@@ -149,6 +150,9 @@ def main(argv=None) -> int:
                     "(lightning_new.py:200-211); random init if omitted")
     sp.add_argument("--teacher-thr", type=float, default=None,
                     help="override the teacher's coarse confidence threshold")
+    sp.add_argument("--extra-gate", type=float, default=1.5,
+                    help="SIFT-model consistency gate (px) on teacher matches "
+                         "before the union; <=0 disables")
     sp.set_defaults(fn=cmd_matches)
 
     sp = sub.add_parser("native")

@@ -106,6 +106,48 @@ def load_sift_cache(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return d["kp"].astype(np.float32), d["desc"].astype(np.float32)
 
 
+def gate_extra_matches(
+    sift0: np.ndarray,
+    sift1: np.ndarray,
+    e0: np.ndarray,
+    e1: np.ndarray,
+    ransac_thresh: float = 5.0,
+    gate_thresh: float = 1.5,
+) -> np.ndarray:
+    """Boolean keep-mask over extra (teacher) matches: consistency with the
+    SIFT-derived homography at a TIGHT threshold.
+
+    The final union RANSAC (ransac_thresh, default 5 px) is loose enough
+    that coarse-ish teacher matches slip through and dilute label precision
+    (round-4 finding: union precision 1.0 -> 0.936). The SIFT-MNN matches
+    are near-perfect post-RANSAC, so the model THEY imply is a trustworthy
+    gate: fit H on the SIFT inliers only, keep a teacher match only when its
+    symmetric transfer error is under `gate_thresh` px."""
+    import cv2
+
+    if len(e0) == 0:
+        return np.zeros((0,), bool)
+    if len(sift0) < 8:
+        # not enough trusted matches to fit a gate model: drop the extras
+        # rather than risk diluting the cache
+        return np.zeros((len(e0),), bool)
+    H, mask = cv2.findHomography(sift0, sift1, cv2.RANSAC, ransac_thresh)
+    if H is None:
+        return np.zeros((len(e0),), bool)
+    def transfer_err(pts_src, pts_dst, M):
+        ph = np.concatenate(
+            [pts_src, np.ones((len(pts_src), 1), np.float32)], axis=1
+        )
+        proj = ph @ M.T
+        w = proj[:, 2:]
+        w = np.where(np.abs(w) < 1e-9, 1e-9, w)
+        return np.linalg.norm(proj[:, :2] / w - pts_dst, axis=1)
+
+    err_f = transfer_err(e0, e1, H)
+    err_b = transfer_err(e1, e0, np.linalg.inv(H))
+    return np.maximum(err_f, err_b) < gate_thresh
+
+
 def pseudo_gt_for_pair(
     kp0: np.ndarray,
     desc0: np.ndarray,
@@ -113,19 +155,29 @@ def pseudo_gt_for_pair(
     desc1: np.ndarray,
     ransac_thresh: float = 5.0,
     extra: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    extra_gate: Optional[float] = 1.5,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """MNN (+ optional deep matches) + homography RANSAC -> inlier pairs.
 
     `extra` is a second match source unioned with the SIFT-MNN matches
     BEFORE the RANSAC filter — the reference's mixed-keypoint recipe for
     Unity pseudo-GT (unity_data.py:215-235: SIFT-smnn ∪ DISK deep matches,
-    one homography RANSAC over the union)."""
+    one homography RANSAC over the union). Unlike the reference, extra
+    matches pass a tight SIFT-model consistency gate first (`extra_gate` px,
+    None disables) — see gate_extra_matches."""
     m = match_mnn(desc0, desc1)
     p0 = kp0[m[:, 0]] if len(m) else np.zeros((0, 2), np.float32)
     p1 = kp1[m[:, 1]] if len(m) else np.zeros((0, 2), np.float32)
     if extra is not None and len(extra[0]):
-        p0 = np.concatenate([p0, np.asarray(extra[0], np.float32)], axis=0)
-        p1 = np.concatenate([p1, np.asarray(extra[1], np.float32)], axis=0)
+        e0 = np.asarray(extra[0], np.float32)
+        e1 = np.asarray(extra[1], np.float32)
+        if extra_gate is not None:
+            keep = gate_extra_matches(
+                p0, p1, e0, e1, ransac_thresh, extra_gate
+            )
+            e0, e1 = e0[keep], e1[keep]
+        p0 = np.concatenate([p0, e0], axis=0)
+        p1 = np.concatenate([p1, e1], axis=0)
     if len(p0) == 0:
         z = np.zeros((0, 2), np.float32)
         return z, z
@@ -140,6 +192,7 @@ def build_match_cache(
     ransac_thresh: float = 5.0,
     deep_fn=None,
     image_paths: Optional[Dict[str, str]] = None,
+    extra_gate: Optional[float] = 1.5,
 ) -> Dict[str, int]:
     """For each (stem0, stem1) pair, write `matches/<stem0>__<stem1>.npz`
     with the inlier pseudo-GT keypoints. Returns per-pair inlier counts.
@@ -164,7 +217,9 @@ def build_match_cache(
             if image_paths is None:
                 raise ValueError("deep_fn requires image_paths")
             extra = deep_fn(image_paths[stem0], image_paths[stem1])
-        p0, p1 = pseudo_gt_for_pair(kp0, d0, kp1, d1, ransac_thresh, extra)
+        p0, p1 = pseudo_gt_for_pair(
+            kp0, d0, kp1, d1, ransac_thresh, extra, extra_gate=extra_gate
+        )
         name = f"{stem0}__{stem1}.npz"
         np.savez(os.path.join(out_dir, name), kp0=p0, kp1=p1)
         counts[name] = len(p0)

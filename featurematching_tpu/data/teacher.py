@@ -119,7 +119,14 @@ def make_teacher_fn(
     def _apply(vars_, img0, img1):
         out = model.apply(vars_, img0, img1, train=False)
         c = out.coarse
-        return c.mkpts0_c, c.mkpts1_c, c.mask
+        if model_cfg.coarse_only:
+            return c.mkpts0_c, c.mkpts1_c, c.mask
+        # fine-refined keypoints (round 5): coarse centers are quantized to
+        # the 1/8 grid (up to ~4 px off), which passed the loose homography
+        # gate but diluted epipolar precision of the union cache — the
+        # reference's DISK teacher likewise emits subpixel keypoints
+        # (unity_data.py:225-232). mkpts*_f carry (x, y, std); drop the std.
+        return out.fine.mkpts0_f[..., :2], out.fine.mkpts1_f[..., :2], c.mask
 
     def match(img0: np.ndarray, img1: np.ndarray):
         sc = model_cfg.resolution[0]

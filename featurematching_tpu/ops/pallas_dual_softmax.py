@@ -177,6 +177,24 @@ def _pick_row_tile(L: int, max_tile: int) -> int:
     return L
 
 
+def _vmem_params(row_tile, n_tiles, S, C):
+    """Mosaic scoped-VMEM limit for one grid step, when the default 16 MB is
+    not enough (the highres/sharded points: row_tile x S f32 sim tiles plus
+    the [n_tiles, S] col-stat partials the out_specs keep resident). v5e has
+    128 MB VMEM; raising the limit only when needed keeps the common 4800-
+    token case on the default (better double-buffering headroom)."""
+    need = 4 * (
+        2 * row_tile * S  # sim + exp intermediate
+        + 2 * n_tiles * S  # col-stat partial outputs (full block resident)
+        + 4 * n_tiles * row_tile  # row stat/max/arg outputs
+        + 2 * S  # col_stat input (pass 2)
+    ) + 2 * C * (row_tile + S)  # bf16 feature inputs
+    if need <= 14 * 1024 * 1024:
+        return None
+    limit = min(int(need * 1.5), 110 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 def _pass1_stats(f0, f1, row_tile, interpret):
     """Pass 1 over a (local) S extent: returns rowm/rowz [B, L] (rowz shifted
     by the LOCAL row max) and combined col stats colm/colz [B, S].
@@ -209,6 +227,7 @@ def _pass1_stats(f0, f1, row_tile, interpret):
             jax.ShapeDtypeStruct((B, n_tiles, S), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(row_tile, n_tiles, S, C),
     )(f0, f1)
 
     # flash-combine partial col stats across row tiles (tiny, XLA)
@@ -253,6 +272,7 @@ def _pass2_conf(f0, f1, lse_r, col_stat, row_tile, interpret):
             jax.ShapeDtypeStruct((B, n_tiles, S), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(row_tile, n_tiles, S, C),
     )(f0, f1, row_stat, col_stat)
     rowmax = rowmax.reshape(B, L)
     rowarg = rowarg.reshape(B, L)

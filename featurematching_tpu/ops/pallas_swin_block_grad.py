@@ -35,9 +35,16 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 from featurematching_tpu.ops.pallas_swin_block import _erf_approx
+from featurematching_tpu.ops.tuning import vmem_params
 
 _SQRT_HALF = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
+
+# trace-time tunables (benchmarks/chunk_sweep.py sweeps these in-process):
+# chunk budgets in "rows of C" (chunk = budget // C) and the Mosaic
+# scoped-VMEM limit in MiB (0 = default 16M). Defaults = round-5 device
+# sweep winners.
+TUNE = {"fwd_budget": 2048, "bwd_budget": 1024, "fwd_vmem_mb": 0, "bwd_vmem_mb": 0}
 
 PARAM_KEYS = (
     "ln1_scale", "ln1_bias", "w_qkv", "b_qkv", "rel_bias", "w_proj", "b_proj",
@@ -536,7 +543,7 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret,
     HID = params["w_mlp1"].shape[1]
     mask_pw, s1p, s2p, has_mask, has_scale = _prep_scale_mask(x, mask_pw, s1, s2)
     if chunk is None:
-        chunk = _pick_chunk(B_, C, 2048)  # VMEM: fwd ~18M at 4096 w/ mask
+        chunk = _pick_chunk(B_, C, TUNE["fwd_budget"])  # VMEM: fwd ~18M at 4096 w/ mask
     mask_block = (
         pl.BlockSpec((chunk, N, N), lambda g: (g, 0, 0))
         if has_mask
@@ -569,6 +576,7 @@ def _fwd_impl(x, mask_pw, s1, s2, params, num_heads, chunk, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None if interpret else vmem_params(TUNE["fwd_vmem_mb"]),
     )(x, mask_pw, s1p, s2p, *_param_args(params, x.dtype, num_heads))
 
 
@@ -582,8 +590,9 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, p, num_heads, chunk, interpret):
     if chunk is None:
         # bwd VMEM budget: the f32 MLP intermediates (y1/dge) scale with
         # chunk*N*HID; measured limits: chunk 16@C=64 / 8@C=128 / 4@C=256 fit
-        # the 16M scoped-vmem budget, one step up OOMs (compile-time checked)
-        chunk = _pick_chunk(B_, C, 1024)
+        # the 16M scoped-vmem budget, one step up OOMs — unless bwd_vmem_mb
+        # raises the Mosaic limit (see ops/tuning.py)
+        chunk = _pick_chunk(B_, C, TUNE["bwd_budget"])
     mask_block = (
         pl.BlockSpec((chunk, N, N), lambda g_: (g_, 0, 0))
         if has_mask
@@ -631,6 +640,7 @@ def _bwd_impl(x, mask_pw, s1, s2, params, g, p, num_heads, chunk, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=None if interpret else vmem_params(TUNE["bwd_vmem_mb"]),
     )(x, mask_pw, s1p, s2p, g, p, *_param_args(params, x.dtype, num_heads))
     dx = outs[0].astype(x.dtype)
     keys = [k for k in PARAM_KEYS]

@@ -138,6 +138,15 @@ def _forward_with_loss(
     sc = cfg.model.resolution[0]
     grid = (H // sc, W // sc)
 
+    # uint8 wire format (round 5): images may cross host->device as bytes
+    # (4x less interconnect traffic than f32 — the loaders/caches carry
+    # whatever dtype the dataset emits); dequantize on device. Real SCARED/
+    # EndoSLAM frames are 8-bit to begin with, so this is lossless for them.
+    if batch["image0"].dtype == jnp.uint8:
+        batch = dict(batch)
+        batch["image0"] = batch["image0"].astype(jnp.float32) / 255.0
+        batch["image1"] = batch["image1"].astype(jnp.float32) / 255.0
+
     # conf-matrix-free coarse loss (ops/sparse_focal_loss.py) whenever the
     # config allows it — removes the [B, L, S] materialization (B x 92 MB at
     # 640x480) from BOTH the forward and backward graphs
@@ -189,6 +198,7 @@ def _forward_with_loss(
             out.quat_pred, out.trans_pred, q01, q10,
             batch["T_0to1"][:, :3, 3], batch["T_1to0"][:, :3, 3],
             cfg.model.loss,
+            mode="fixed" if flag == "new_fixed" else "ref",
         )
     elif flag == "old" and out.T_0to1_pred is not None:
         from featurematching_tpu.losses.loss import compute_pose_metric_old
