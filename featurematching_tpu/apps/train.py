@@ -109,6 +109,11 @@ def main(argv=None) -> int:
                         "3.2-7.6x the Python loader, benchmarks/loader_bench)")
     p.add_argument("--lr", type=float, default=None,
                    help="canonical LR override (scaled by batch/canonical_bs)")
+    p.add_argument("--init-torch-npz", default=None,
+                   help="warm-start from a reference-format torch state-dict "
+                        "npz (e.g. ckpts/swin_warm_s7.npz from "
+                        "benchmarks/swin_pretrain.py); arch/channels must "
+                        "match — the warm init is grayscale, pass --gray")
     args = p.parse_args(argv)
 
     import jax
@@ -182,7 +187,8 @@ def main(argv=None) -> int:
     else:
         tl = BatchLoader(train_ds, args.batch, seed=args.seed)
         vl = BatchLoader(val_ds, args.batch, shuffle=False, drop_last=False) if val_ds else None
-    runner = Runner(cfg, tl, vl, workdir=args.workdir, resume=not args.no_resume)
+    runner = Runner(cfg, tl, vl, workdir=args.workdir, resume=not args.no_resume,
+                    init_torch_npz=args.init_torch_npz)
     results = runner.fit(args.epochs)
     print("final:", results)
     return 0

@@ -55,6 +55,7 @@ from featurematching_tpu.ops.pallas_coarse_transformer import (
     coarse_transformer_supported,
 )
 from featurematching_tpu.ops.pallas_fine_stage import _dot2, _elu1, _layer_values
+from featurematching_tpu.ops.tuning import vmem_params
 
 _EPS = 1e-6
 
@@ -224,6 +225,12 @@ def _stats_bwd_kernel(
     dsrc_ref[...] = dsrc.astype(dsrc_ref.dtype).reshape(1, chunk, C)
 
 
+# trace-time tunables (benchmarks/chunk_sweep.py): bwd row target + Mosaic
+# scoped-VMEM limit in MiB for the two backward kernels (0 = 16M default,
+# which capped the bwd chunk at 480-600 rows — "960 hit the 16M limit")
+TUNE = {"bwd_rows": 600, "bwd_vmem_mb": 0}
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def _apply_bwd(x, g, kv, ko, bm, wvals, chunk, interpret):
     G, N, C = x.shape
@@ -265,6 +272,7 @@ def _apply_bwd(x, g, kv, ko, bm, wvals, chunk, interpret):
             jax.ShapeDtypeStruct((1, C), f32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else vmem_params(TUNE["bwd_vmem_mb"]),
     )(x, g, kv, ko, bm, *operands)
 
 
@@ -290,6 +298,7 @@ def _stats_bwd(src, dkv, dko, wkv, chunk, interpret):
             jax.ShapeDtypeStruct((C, 2 * C), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else vmem_params(TUNE["bwd_vmem_mb"]),
     )(src, dkv, dko, wkv)
 
 
@@ -373,8 +382,9 @@ def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
     if chunk is None:
         # the bwd kernels hold ~3x the forward's live set (recompute +
         # cotangents): chunk 960 hit the 16M scoped-vmem limit at 17.1M;
-        # device A/B: 480 = 73.3, 600 = 72.0 ms/step end-to-end
-        chunk = _pick_chunk(N, C, target_rows=600)
+        # device A/B: 480 = 73.3, 600 = 72.0 ms/step end-to-end.
+        # TUNE["bwd_rows"] > 600 requires TUNE["bwd_vmem_mb"] raised too.
+        chunk = _pick_chunk(N, C, target_rows=TUNE["bwd_rows"])
     bm = _blockmask(C, nhead)
 
     plan = _call_plan(layer_names)

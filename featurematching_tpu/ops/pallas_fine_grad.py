@@ -55,6 +55,7 @@ from featurematching_tpu.ops.pallas_fine_stage import (
     _layer_values,
     fine_stage_supported,
 )
+from featurematching_tpu.ops.tuning import vmem_params
 
 _EPS = 1e-6
 
@@ -336,6 +337,11 @@ def _pads(w0, w1, N):
     return w0, w1, Np
 
 
+# trace-time tunables (benchmarks/chunk_sweep.py): bwd chunk VMEM budget in
+# bytes-of-live-set + Mosaic scoped-VMEM limit MiB (0 = 16M default)
+TUNE = {"bwd_budget": int(12e6), "bwd_vmem_mb": 0}
+
+
 def _chunk_of(B_, Np, C, nl, chunk):
     if chunk is None:
         # measured footprint: the replay + reverse sweep holds ~48 f32
@@ -343,7 +349,7 @@ def _chunk_of(B_, Np, C, nl, chunk):
         # 2-layer whole-stack variant vs the 16M scoped-vmem limit) — the
         # compiler keeps the full per-layer trace live; the backward runs
         # one kernel per layer so nl is 1 there
-        chunk = max(1, int(12e6) // (Np * C * 4 * 48 * max(1, nl)))
+        chunk = max(1, int(TUNE["bwd_budget"]) // (Np * C * 4 * 48 * max(1, nl)))
     chunk = min(chunk, B_)
     while B_ % chunk:
         chunk -= 1
@@ -424,6 +430,7 @@ def _layer_bwd_call(name, x0, x1, d0, d1, wvals, nhead, N, chunk, interpret):
             + [jax.ShapeDtypeStruct(s, jnp.float32) for s in wg_shapes]
         ),
         interpret=interpret,
+        compiler_params=None if interpret else vmem_params(TUNE["bwd_vmem_mb"]),
     )(x0p, x1p, d0p, d1p, bm, kvmask, *wvals)
     return outs[0][:, :N], outs[1][:, :N], outs[2:]
 

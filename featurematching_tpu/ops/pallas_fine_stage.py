@@ -55,7 +55,13 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+from featurematching_tpu.ops.tuning import vmem_params
+
 _EPS = 1e-6  # linear-attention normalizer epsilon (ops/attention.py)
+
+# trace-time tunables (benchmarks/chunk_sweep.py): fwd chunk VMEM budget in
+# bytes-of-live-set (chunk derives from it) + Mosaic scoped-VMEM limit MiB
+TUNE = {"fwd_budget": int(7e6), "fwd_vmem_mb": 0}
 
 
 def _elu1(x):
@@ -293,8 +299,9 @@ def fine_stage_fused(
         # live set per chunk: a few [CH, Np, C] f32 intermediates + two
         # [CH, C, C] products; target ~7 MB under Mosaic double buffering
         # (device sweep at [4096, 49->56, 64]: chunk 32 = 3.96 ms, 64 =
-        # 3.72 ms, 128 = scoped-vmem OOM at 23.6M/16M)
-        chunk = max(1, int(7e6) // (Np * C * 4 * 5 + 2 * C * C * 4))
+        # 3.72 ms, 128 = scoped-vmem OOM at 23.6M/16M unless TUNE raises
+        # fwd_vmem_mb)
+        chunk = max(1, int(TUNE["fwd_budget"]) // (Np * C * 4 * 5 + 2 * C * C * 4))
     chunk = min(chunk, B_)
     while B_ % chunk:
         chunk -= 1
@@ -375,6 +382,7 @@ def fine_stage_fused(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=None if interpret else vmem_params(TUNE["fwd_vmem_mb"]),
     )(w0, w1, blockmask, kvmask, mk0, mb0, mk1, mb1, *extra, *layer_vals)
     if fold_softargmax:
         h0, h1 = outs

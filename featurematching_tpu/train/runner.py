@@ -116,6 +116,7 @@ class Runner:
         val_loader: Optional[BatchLoader] = None,
         workdir: str = "runs/default",
         resume: bool = True,
+        init_torch_npz: Optional[str] = None,
     ):
         self.cfg = cfg
         self.train_loader = train_loader
@@ -144,6 +145,26 @@ class Runner:
         self.model, self.state = create_train_state(
             cfg, self.tx, jax.random.PRNGKey(cfg.trainer.seed), sample
         )
+        if init_torch_npz:
+            # warm start from a reference-format torch state-dict npz (e.g.
+            # the TPU-pretrained Swin warm init exported by
+            # benchmarks/swin_pretrain.py) — the reference's equivalent is
+            # ckpt_path/pretrained loading (lightning_new.py:212-238)
+            import numpy as _np
+
+            from featurematching_tpu.utils.torch_convert import convert_matcher
+
+            sd = dict(_np.load(init_torch_npz))
+            params, stats = convert_matcher(
+                sd,
+                coarse_layers=len(cfg.model.coarse.layer_names),
+                fine_layers=len(cfg.model.fine.layer_names),
+            )
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, params),
+                batch_stats=jax.tree.map(jnp.asarray, stats),
+            )
+            self.log.info(f"warm init from {init_torch_npz}")
         if resume:
             prev = self.ckpt.latest_step()
             if prev is not None:

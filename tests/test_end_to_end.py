@@ -155,13 +155,26 @@ class TestRawFormatRehearsal:
              "--teacher-thr", "1e-8", "--min-inliers", "10"]
         ) == 0
 
-        # 3. train 2 epochs through the CLI
-        workdir = str(tmp_path / "run")
-        rc = train_main(
-            ["scared", kf, "--workdir", workdir, "--epochs", "2",
-             "--batch", "2", "--size", "128", "96", "--num-gt", "64",
-             "--min-inliers", "10", "--val-fraction", "0.3"]
+        # 3. train 2 epochs through the CLI, warm-starting from the
+        # TPU-pretrained Swin init when available (BASELINE.md documents its
+        # regeneration; ckpts/ holds measurement inputs, not source). A
+        # from-scratch Swin on 7 frames is feature-collapsed (the round-3
+        # data-starvation control) — the warm start is what makes the sfm
+        # leg of this rehearsal track at all.
+        warm = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ckpts", "swin_warm_s7.npz",
         )
+        have_warm = os.path.exists(warm)
+        workdir = str(tmp_path / "run")
+        train_args = [
+            "scared", kf, "--workdir", workdir, "--epochs", "2",
+            "--batch", "2", "--size", "128", "96", "--num-gt", "64",
+            "--min-inliers", "10", "--val-fraction", "0.3", "--gray",
+        ]
+        if have_warm:
+            train_args += ["--init-torch-npz", warm]
+        rc = train_main(train_args)
         assert rc == 0
         ckpt_dir = os.path.join(workdir, "ckpt")
         assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
@@ -170,7 +183,7 @@ class TestRawFormatRehearsal:
         out = str(tmp_path / "metrics.json")
         rc = eval_main(
             ["scared", kf, "--batch", "2", "--size", "128", "96",
-             "--out", out, "--limit", "4", "--ckpt", ckpt_dir]
+             "--out", out, "--limit", "4", "--ckpt", ckpt_dir, "--gray"]
         )
         assert rc == 0
 
@@ -180,7 +193,7 @@ class TestRawFormatRehearsal:
             [os.path.join(kf, "raw_images", "Left"), "--size", "128", "96",
              "--intrinsics", "150", "150", "64", "48",
              "--ckpt", ckpt_dir, "--thr", "0.001", "--out", traj_path,
-             "--max-frames", "8"]
+             "--max-frames", "8", "--gray"]
         )
         assert rc == 0 and os.path.exists(traj_path)
         rows = np.atleast_2d(np.loadtxt(traj_path))
@@ -196,4 +209,23 @@ class TestRawFormatRehearsal:
         gt = [np.linalg.inv(np.asarray(p)) for p in load_pose_sequence(
             os.path.join(kf, "data", "frame_data.tar.gz")).values()]
         ate = ate_rmse(np.stack(est), np.stack(gt))
+        # real quality gate (VERDICT round-4 weak #6): the GT trajectory is a
+        # pure 0.4/frame x-translation, length 2.8 over 8 frames; after
+        # Umeyama scale alignment a failed/untracked trajectory scores at the
+        # centered GT spread (measured: 0.9165, the round-4 silent failure),
+        # a recovered one scores well below. Bound = 25% of trajectory
+        # length; the measured warm-start value is recorded in BASELINE.md.
+        traj_len = 0.4 * 7
+        print(f"[rehearsal] ate_rmse={ate:.4f} (bound {0.25 * traj_len:.2f}, "
+              f"warm={have_warm})")
         assert np.isfinite(ate)
+        if have_warm:
+            assert ate < 0.25 * traj_len, ate
+        else:  # fresh checkout without the warm ckpt: plumbing-only rehearsal
+            import warnings
+
+            warnings.warn(
+                "ckpts/swin_warm_s7.npz absent — rehearsal ran from-scratch "
+                "(feature-collapsed Swin); ATE bound not asserted. "
+                "Regenerate via BASELINE.md 'Reproducibility'."
+            )
