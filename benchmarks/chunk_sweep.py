@@ -83,16 +83,22 @@ def set_tune(cfgspec: dict):
     'fine_stage': {...}} — partial updates over each module's TUNE."""
     from featurematching_tpu.ops import (
         pallas_coarse_grad,
+        pallas_coarse_transformer,
+        pallas_dual_softmax,
         pallas_fine_grad,
         pallas_fine_stage,
         pallas_swin_block_grad,
+        sparse_focal_loss,
     )
 
     mods = {
         "swin": pallas_swin_block_grad,
         "coarse": pallas_coarse_grad,
+        "coarse_fwd": pallas_coarse_transformer,
+        "dsm": pallas_dual_softmax,
         "fine_grad": pallas_fine_grad,
         "fine_stage": pallas_fine_stage,
+        "sfl": sparse_focal_loss,
     }
     for key, mod in mods.items():
         for k, v in cfgspec.get(key, {}).items():
@@ -101,9 +107,12 @@ def set_tune(cfgspec: dict):
 
 BASE = {
     "swin": {"fwd_budget": 2048, "bwd_budget": 1024, "fwd_vmem_mb": 0, "bwd_vmem_mb": 0},
-    "coarse": {"bwd_rows": 600, "bwd_vmem_mb": 0},
+    "coarse": {"bwd_rows": 1600, "bwd_vmem_mb": 48},
+    "coarse_fwd": {"fwd_rows": 1600},
+    "dsm": {"row_tile": 512},
     "fine_grad": {"bwd_budget": int(12e6), "bwd_vmem_mb": 0},
     "fine_stage": {"fwd_budget": int(7e6), "fwd_vmem_mb": 0},
+    "sfl": {"use_pallas": True},
 }
 
 TRAIN_SWEEPS = [
@@ -121,6 +130,9 @@ INFER_SWEEPS = [
     ("base", {}),
     ("fine_fwd_x2", {"fine_stage": {"fwd_budget": int(14e6), "fwd_vmem_mb": 40}}),
     ("fine_fwd_x3", {"fine_stage": {"fwd_budget": int(21e6), "fwd_vmem_mb": 56}}),
+    ("dsm_960", {"dsm": {"row_tile": 960}}),
+    ("dsm_1600", {"dsm": {"row_tile": 1600}}),
+    ("coarse_fwd_2400", {"coarse_fwd": {"fwd_rows": 2400}}),
 ]
 
 
@@ -130,6 +142,8 @@ def main():
     ap.add_argument("--which", default="train,infer")
     ap.add_argument("--extra", default="",
                     help="json list of extra (name, cfgspec) train sweeps")
+    ap.add_argument("--only", default="",
+                    help="comma-separated config names to run (others skipped)")
     ap.add_argument("--out", default="benchmarks/chunk_sweep.json")
     args = ap.parse_args()
 
@@ -145,6 +159,9 @@ def main():
     train_sweeps = list(TRAIN_SWEEPS)
     if args.extra:
         train_sweeps += [tuple(x) for x in json.loads(args.extra)]
+    if args.only:
+        keep = set(args.only.split(","))
+        train_sweeps = [t for t in train_sweeps if t[0] in keep]
     if "train" in which:
         for name, spec in train_sweeps:
             set_tune({k: dict(v) for k, v in BASE.items()})

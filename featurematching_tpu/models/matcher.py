@@ -215,21 +215,39 @@ class Matcher(nn.Module):
         # 3. coarse matching — normalize by sqrt(C) each (carried inside
         # dual_softmax_confidence), threshold+border+mutual-NN+top-K
         mc = cfg.match_coarse
-        if want_conf_matrix:
-            conf = dual_softmax_confidence(feat_c0, feat_c1, mc.dsmax_temperature)
-        else:
-            conf = None
-        matches, conf = coarse_match(
-            feat_c0, feat_c1, (hc, wc), (hc, wc), float(sc),
-            thr=mc.thr, border_rm=mc.border_rm,
-            temperature=mc.dsmax_temperature,
-            max_matches=mc.max_matches, conf=conf,
-            mesh=shard_mesh,
-        )
-        if not want_conf_matrix:
+        if train and gt_ids is not None and not want_conf_matrix:
+            # sparse-supervised TRAIN step: fine ids come from GT and the
+            # coarse loss from ops/sparse_focal_loss — the extracted match
+            # list is dead weight (its stats kernels + top-K while loop cost
+            # ~1.5 ms/step at 640x480 batch 4, round-5 trace). Emit an empty
+            # fixed-shape list instead; eval/inference always extracts.
+            B_, K = feat_c0.shape[0], mc.max_matches
+            zi = jnp.zeros((B_, K), jnp.int32)
+            matches = CoarseMatches(
+                i_ids=zi, j_ids=zi, mask=jnp.zeros((B_, K), bool),
+                mconf=jnp.zeros((B_, K), feat_c0.dtype),
+                mkpts0_c=jnp.zeros((B_, K, 2), jnp.float32),
+                mkpts1_c=jnp.zeros((B_, K, 2), jnp.float32),
+            )
             conf_out = None
         else:
-            conf_out = conf
+            if want_conf_matrix:
+                conf = dual_softmax_confidence(
+                    feat_c0, feat_c1, mc.dsmax_temperature
+                )
+            else:
+                conf = None
+            matches, conf = coarse_match(
+                feat_c0, feat_c1, (hc, wc), (hc, wc), float(sc),
+                thr=mc.thr, border_rm=mc.border_rm,
+                temperature=mc.dsmax_temperature,
+                max_matches=mc.max_matches, conf=conf,
+                mesh=shard_mesh,
+            )
+            if not want_conf_matrix:
+                conf_out = None
+            else:
+                conf_out = conf
 
         # coarse-only (LoFTR-tiny teacher mode, loftr_tiny.py:107-242): skip
         # fine refinement; "fine" keypoints are the coarse centers, std = 0

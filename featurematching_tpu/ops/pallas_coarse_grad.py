@@ -227,8 +227,11 @@ def _stats_bwd_kernel(
 
 # trace-time tunables (benchmarks/chunk_sweep.py): bwd row target + Mosaic
 # scoped-VMEM limit in MiB for the two backward kernels (0 = 16M default,
-# which capped the bwd chunk at 480-600 rows — "960 hit the 16M limit")
-TUNE = {"bwd_rows": 600, "bwd_vmem_mb": 0}
+# which capped the bwd chunk at 480-600 rows — "960 hit the 16M limit").
+# Round-5 device sweep (chunk_sweep.json): 600 = 66.21, 960 = 65.54,
+# 1600 = 65.36 ms/step — the old ceiling was the 16 MB default, not the
+# hardware; 1600 rows with a 48 MiB limit is the new default.
+TUNE = {"bwd_rows": 1600, "bwd_vmem_mb": 48}
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))

@@ -123,12 +123,18 @@ def _apply_kernel(
     out_ref[...] = (x2 + y).reshape(1, chunk, C)
 
 
-def _pick_chunk(n: int, c: int, target_rows: int = 1600) -> int:
+# trace-time tunable (benchmarks/chunk_sweep.py): fwd stats/apply chunk rows
+TUNE = {"fwd_rows": 1600}
+
+
+def _pick_chunk(n: int, c: int, target_rows: int | None = None) -> int:
     """Largest multiple-of-8 divisor of n at or below target_rows.
 
     Device sweep at [4, 4800, 256] bf16 (8-layer fwd stage): 240 = 5.26 ms,
     480 = 5.02, 600 = 4.60, 960 = 4.81, 1600 = 4.26, 2400 = 4.52. The bwd
     kernels pass their own smaller target (480 — scoped-vmem bound)."""
+    if target_rows is None:
+        target_rows = TUNE["fwd_rows"]
     best = 0
     for chunk in range(8, min(n, target_rows) + 1, 8):
         if n % chunk == 0:

@@ -165,6 +165,12 @@ def dual_softmax_match_stats(
     return _pallas_forward(feat0, feat1, inv_temp, row_tile, interpret)
 
 
+# trace-time tunable (benchmarks/chunk_sweep.py): pass-1/2 row-tile target.
+# The sim tile is [row_tile, S] f32 in VMEM; _vmem_params raises the Mosaic
+# limit automatically when a bigger tile needs it.
+TUNE = {"row_tile": 512}
+
+
 def _pick_row_tile(L: int, max_tile: int) -> int:
     """Largest divisor of L that is <= max_tile and a multiple of 8 (fp32
     sublane), falling back to any divisor."""
@@ -287,6 +293,8 @@ def _pass2_conf(f0, f1, lse_r, col_stat, row_tile, interpret):
 @functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
 def _pallas_forward(feat0, feat1, inv_temp, row_tile=512, interpret=False):
     B, L, C = feat0.shape
+    if row_tile == 512:  # default: honor the TUNE override
+        row_tile = TUNE["row_tile"]
     row_tile = _pick_row_tile(L, row_tile)
     f0 = (feat0.astype(jnp.float32) * inv_temp).astype(feat0.dtype)
     f1 = feat1

@@ -34,6 +34,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
 
 def _dot_f32(a, b, dims):
     """dot_general in the OPERAND dtype with f32 accumulation — on TPU a
@@ -129,23 +137,160 @@ def _per_pair_loss_and_grad(logc, alpha, gamma):
     return loss, jnp.where(in_range, dconf * conf, 0.0)
 
 
+def _lses_pallas(f0, f1, inv_temp, interpret=False):
+    """Batched row/col logsumexps via the fused dual-softmax pass-1 stats
+    kernel (ops/pallas_dual_softmax) — the XLA lax.map tiling below lowers
+    to a TPU while loop costing ~0.9 ms/step at the flagship shape; the
+    stats kernel does the identical flash-style math in one pallas_call.
+    Numerics: inv_temp is folded into the bf16 f0 operand (exactly the
+    matching path's scaling), vs post-matmul f32 scaling in the XLA tiling —
+    a bf16-rounding-level difference."""
+    from featurematching_tpu.ops.pallas_dual_softmax import (
+        _pass1_stats,
+        _pick_row_tile,
+    )
+
+    L = f0.shape[1]
+    row_tile = _pick_row_tile(L, 512)
+    f0s = (f0.astype(jnp.float32) * inv_temp).astype(f0.dtype)
+    rowm, rowz, colm, colz = _pass1_stats(f0s, f1, row_tile, interpret)
+    return rowm + jnp.log(rowz), colm + jnp.log(colz)
+
+
+# trace-time tunable (benchmarks/chunk_sweep.py): route the loss fwd LSEs and
+# the softmax backward terms through the Pallas kernels vs the XLA tilings
+TUNE = {"use_pallas": True}
+
+
+def _use_pallas_lse():
+    if not TUNE["use_pallas"]:
+        return False
+    try:
+        from featurematching_tpu.ops.pallas_dual_softmax import _HAS_PALLAS
+
+        return _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _sfl_fwd(f0, f1, gt_i, gt_j, gt_mask, inv_temp, alpha, gamma, tile):
     B = f0.shape[0]
     f0_orig, f1_orig = f0, f1  # residuals keep the primal dtype (bf16 ok)
 
-    def one(f0b, f1b, gib, gjb):
-        lse_r, lse_c = _logsumexps(f0b, f1b, inv_temp, tile)
-        sim_p = _gather_sim(f0b, f1b, gib, gjb, inv_temp)
-        logc = 2.0 * sim_p - lse_r[gib] - lse_c[gjb]
-        return logc, lse_r, lse_c
+    if _use_pallas_lse():
+        lse_r, lse_c = _lses_pallas(f0, f1, inv_temp)
+        sim_p = jax.vmap(
+            lambda f0b, f1b, gib, gjb: _gather_sim(f0b, f1b, gib, gjb, inv_temp)
+        )(f0, f1, gt_i, gt_j)
+        logc = (
+            2.0 * sim_p
+            - jnp.take_along_axis(lse_r, gt_i, axis=1)
+            - jnp.take_along_axis(lse_c, gt_j, axis=1)
+        )
+    else:
+        def one(f0b, f1b, gib, gjb):
+            lse_rb, lse_cb = _logsumexps(f0b, f1b, inv_temp, tile)
+            sim_pb = _gather_sim(f0b, f1b, gib, gjb, inv_temp)
+            logcb = 2.0 * sim_pb - lse_rb[gib] - lse_cb[gjb]
+            return logcb, lse_rb, lse_cb
 
-    logc, lse_r, lse_c = jax.vmap(one)(f0, f1, gt_i, gt_j)
+        logc, lse_r, lse_c = jax.vmap(one)(f0, f1, gt_i, gt_j)
     per, dlogc = _per_pair_loss_and_grad(logc, alpha, gamma)
     m = gt_mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(m), 1.0)
     loss = jnp.sum(per * m) / denom
     res = (f0_orig, f1_orig, gt_i, gt_j, gt_mask, lse_r, lse_c, dlogc, denom)
     return loss, res
+
+
+def _sfl_bwd_kernel(
+    f0s_ref, f1_ref, ar_ref, lser_ref, ac_ref, lsec_ref,
+    df0_ref, df1_ref,
+):
+    """One row-tile of the softmax backward terms, fully in VMEM.
+
+    f0s: [n_tiles, T, C] PRE-SCALED (inv_temp folded) bf16 rows; f1: [S, C].
+    ar/lser: [n_tiles, T] f32 row-grad sums / row LSEs; ac/lsec: [1, S].
+    df0 out: [n_tiles, T, C] f32 (d/d f0s — caller rescales by inv_temp);
+    df1 out: [S, C] f32, accumulated across the sequential tile grid.
+    Replaces the XLA lax.scan tiling (a TPU while loop, ~0.6 ms/step at the
+    flagship shape) with one pallas_call."""
+    i = pl.program_id(1)
+    f0_t = f0s_ref[i]
+    sim = jax.lax.dot_general(
+        f0_t, f1_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, S] — f0s carries inv_temp, so this IS sim
+    p_row = jnp.exp(sim - lser_ref[i][:, None])
+    p_col = jnp.exp(sim - lsec_ref[0][None, :])
+    dsim = -(ar_ref[i][:, None] * p_row + ac_ref[0][None, :] * p_col)
+    dsim_lo = dsim.astype(f0_t.dtype)
+    df0_ref[i] = jax.lax.dot_general(
+        dsim_lo, f1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    df1_t = jax.lax.dot_general(
+        dsim_lo, f0_t,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, C]
+
+    @pl.when(i == 0)
+    def _init():
+        df1_ref[...] = jnp.zeros_like(df1_ref)
+
+    df1_ref[...] += df1_t
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def _sfl_bwd_pallas(f0, f1, a_r, lse_r, a_c, lse_c, inv_temp, row_tile=480,
+                    interpret=False):
+    """Batched softmax backward terms via the Pallas kernel. Returns
+    (df0 [B, L, C] f32 in ORIGINAL f0 units, df1 [B, S, C] f32)."""
+    from featurematching_tpu.ops.pallas_dual_softmax import _pick_row_tile
+
+    B, L, C = f0.shape
+    S = f1.shape[1]
+    T = _pick_row_tile(L, row_tile)
+    n = L // T
+    f0s = (f0.astype(jnp.float32) * inv_temp).astype(f0.dtype)
+    f0s = f0s.reshape(B, n, T, C)
+    ar = a_r.reshape(B, n, T).astype(jnp.float32)
+    lser = lse_r.reshape(B, n, T).astype(jnp.float32)
+    ac = a_c.reshape(B, 1, S).astype(jnp.float32)
+    lsec = lse_c.reshape(B, 1, S).astype(jnp.float32)
+    # VMEM: sim + p_row + p_col [T, S] f32 ~3x8.8M at T=480/S=4800
+    params = (
+        None if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=56 * 1024 * 1024)
+    )
+    df0, df1 = pl.pallas_call(
+        _sfl_bwd_kernel,
+        grid=(B, n),
+        in_specs=[
+            pl.BlockSpec((None, n, T, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((None, S, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n, T), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, n, T), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, 1, S), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, 1, S), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, n, T, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((None, S, C), lambda b, i: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n, T, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, C), jnp.float32),
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(f0s, f1, ar, lser, ac, lsec)
+    # df0 is d/d(f0s); d/d f0 = inv_temp * d/d f0s. df1 needs no rescale:
+    # d sim/d f1 = f0s exactly.
+    return df0.reshape(B, L, C) * inv_temp, df1
 
 
 def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
@@ -158,6 +303,30 @@ def _sfl_bwd(inv_temp, alpha, gamma, tile, res, g):
     G = gt_i.shape[1]
     m = gt_mask.astype(jnp.float32)
     gbar = (g / denom) * dlogc * m  # [B, G] upstream grad per GT pair
+
+    if _use_pallas_lse():
+        # per-row/col accumulated upstream grads (the -lse cotangents)
+        a_r = jnp.zeros((B, L)).at[jnp.arange(B)[:, None], gt_i].add(gbar)
+        a_c = jnp.zeros((B, S)).at[jnp.arange(B)[:, None], gt_j].add(gbar)
+        df0, df1 = _sfl_bwd_pallas(f0, f1, a_r, lse_r, a_c, lse_c, inv_temp)
+        # sparse direct term: dsim[i_p, j_p] += 2 * g_p
+        coef = (2.0 * gbar * inv_temp)[..., None]
+        rows1 = jnp.take_along_axis(
+            f1.astype(jnp.float32), gt_j[..., None], axis=1
+        )
+        rows0 = jnp.take_along_axis(
+            f0.astype(jnp.float32), gt_i[..., None], axis=1
+        )
+        df0 = jax.vmap(lambda d, i, v: d.at[i].add(v))(df0, gt_i, coef * rows1)
+        df1 = jax.vmap(lambda d, j, v: d.at[j].add(v))(df1, gt_j, coef * rows0)
+        zeros_i = jnp.zeros_like(gt_i)
+        return (
+            df0.astype(f0_orig.dtype),
+            df1.astype(f1_orig.dtype),
+            zeros_i,
+            zeros_i,
+            jnp.zeros_like(gt_mask),
+        )
 
     def one(f0b, f1b, gib, gjb, gb, lse_rb, lse_cb):
         # per-row / per-col accumulated upstream (the -lse terms)

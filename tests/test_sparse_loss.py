@@ -56,6 +56,42 @@ class TestSparseFocalLoss:
         np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=2e-3, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=2e-3, atol=1e-6)
 
+    def test_pallas_kernels_match_xla_tiling(self, rng):
+        """Round-5 TPU path: the pass-1 LSE reuse + the fused backward
+        kernel (interpret mode) must match the XLA tilings."""
+        from featurematching_tpu.ops.sparse_focal_loss import (
+            _logsumexps,
+            _lses_pallas,
+            _sfl_bwd_pallas,
+        )
+
+        B, L, S, C, G = 2, 96, 96, 16, 24
+        f0, f1, gi, gj, mask, it = setup(rng, B=B, L=L, S=S, C=C, G=G)
+        lr_p, lc_p = _lses_pallas(f0, f1, it, interpret=True)
+        for b in range(B):
+            lr_x, lc_x = _logsumexps(f0[b], f1[b], it, tile=32)
+            np.testing.assert_allclose(np.asarray(lr_p[b]), np.asarray(lr_x), rtol=2e-5)
+            np.testing.assert_allclose(np.asarray(lc_p[b]), np.asarray(lc_x), rtol=2e-5)
+
+        a_r = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32)) * 0.1
+        a_c = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32)) * 0.1
+        df0, df1 = _sfl_bwd_pallas(
+            f0, f1, a_r, lr_p, a_c, lc_p, it, row_tile=32, interpret=True
+        )
+        # dense reference of the softmax backward terms
+        sim = jnp.einsum("blc,bsc->bls", f0, f1) * it
+        p_row = jnp.exp(sim - lr_p[:, :, None])
+        p_col = jnp.exp(sim - lc_p[:, None, :])
+        dsim = -(a_r[:, :, None] * p_row + a_c[:, None, :] * p_col)
+        df0_ref = jnp.einsum("bls,bsc->blc", dsim, f1) * it
+        df1_ref = jnp.einsum("bls,blc->bsc", dsim, f0) * it
+        np.testing.assert_allclose(
+            np.asarray(df0), np.asarray(df0_ref), rtol=3e-3, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(df1), np.asarray(df1_ref), rtol=3e-3, atol=2e-5
+        )
+
     def test_masked_rows_no_gradient(self, rng):
         """Fully-masked GT rows contribute nothing."""
         f0, f1, gi, gj, _, it = setup(rng)

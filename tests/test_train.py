@@ -62,7 +62,7 @@ class TestSupervision:
         ci = jnp.asarray([[3, 3, 5, 7]])
         cj = jnp.asarray([[2, 2, 9, 9]])
         valid = jnp.ones((1, 4), bool)
-        keep = np.asarray(dedup_by_cells(ci, cj, valid)[0])
+        keep = np.asarray(dedup_by_cells(ci, cj, valid, 16, 16)[0])
         assert keep.sum() == 2  # (3,2) once, (5,9)/(7,9) share j-cell -> one
         assert keep[2] ^ keep[3]
 
