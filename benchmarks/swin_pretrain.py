@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--out-sd", default="ckpts/swin_warm.npz")
     ap.add_argument("--out-log", default="benchmarks/swin_pretrain_log.json")
     ap.add_argument("--log-every", type=int, default=500)
+    ap.add_argument("--cosine", action="store_true",
+                    help="warmup + cosine lr decay to 10%% (long runs)")
     args = ap.parse_args()
 
     import jax
@@ -121,9 +123,21 @@ def main():
     params = jax.tree.map(jnp.asarray, params)
     stats = jax.tree.map(jnp.asarray, stats)
 
-    tx = optax.adam(
-        lambda count: args.lr * jnp.minimum(1.0, (count + 1) / max(args.warmup, 1))
-    )
+    def sched(count):
+        warm = jnp.minimum(1.0, (count + 1) / max(args.warmup, 1))
+        if not args.cosine:
+            return args.lr * warm
+        # warmup + cosine decay to a 10% floor: the 50k constant-lr run
+        # diverged (NaN at ~25k steps despite clip + apply_if_finite —
+        # bf16 loss spikes at a flat 4e-4 eventually produce a finite-but-
+        # huge update); long-horizon runs need the decay
+        prog = jnp.clip(
+            (count - args.warmup) / max(args.steps - args.warmup, 1), 0.0, 1.0
+        )
+        cos = 0.1 + 0.9 * 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+        return args.lr * warm * cos
+
+    tx = optax.adam(sched)
     if args.clip:
         tx = optax.chain(optax.clip_by_global_norm(args.clip), tx)
     # divergence guard: the first run escaped the plateau (26 probe
@@ -171,9 +185,21 @@ def main():
                        wall_s=round(time.time() - t0, 1))
             log.append(rec)
             print(f"[pretrain] {json.dumps(rec)}", flush=True)
+            if not np.isfinite(loss):
+                # long-horizon bf16 runs can still diverge past the
+                # clip/apply_if_finite guards (the 50k constant-lr run
+                # NaN'd at ~25k) — stop burning chip time; the exported
+                # params below are whatever the guards preserved
+                print("[pretrain] non-finite probe loss — stopping early",
+                      flush=True)
+                break
 
     dec = make_deconverter(init_sd, coarse_layers=8, fine_layers=2)
     params_np = jax.tree.map(lambda a: np.asarray(a, np.float32), state.params)
+    finite = all(
+        bool(np.isfinite(a).all()) for a in jax.tree.leaves(params_np)
+    )
+    print(f"[pretrain] exported params finite: {finite}", flush=True)
     warm_sd = dec(params_np)
     np.savez_compressed(args.out_sd, **warm_sd)
     with open(args.out_log, "w") as f:
