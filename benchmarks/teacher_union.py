@@ -116,6 +116,14 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--platform", choices=("cpu", "device"), default="device")
     ap.add_argument("--ckpt", default="/tmp/teacher_tiny.npz")
+    ap.add_argument("--use-ckpt", action="store_true",
+                    help="skip teacher training; --ckpt is an existing "
+                         "native teacher checkpoint (e.g. the 50k flagship "
+                         "converted via --convert-flagship)")
+    ap.add_argument("--convert-flagship", default="",
+                    help="reference-format state-dict npz (swin_pretrain "
+                         "--out-sd) to convert + save as the native teacher "
+                         "ckpt at --ckpt before evaluating")
     ap.add_argument("--out", default="benchmarks/teacher_union.json")
     ap.add_argument("--workdir", default="/tmp/teacher_union_eval")
     args = ap.parse_args()
@@ -123,10 +131,23 @@ def main():
     pairs = make_fixture(
         args.seed, args.train_pairs, args.val_pairs, scene="two_plane"
     )
-    train_teacher(
-        pairs, args.train_pairs, args.epochs, args.lr, args.seed,
-        args.platform, args.ckpt,
-    )
+    if args.convert_flagship:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from featurematching_tpu.data.teacher import save_teacher_ckpt
+        from featurematching_tpu.utils.torch_convert import convert_matcher
+
+        sd = dict(np.load(args.convert_flagship))
+        params, stats = convert_matcher(sd, coarse_layers=8, fine_layers=2)
+        cfg = our_config(ARCHS["flagship"], dtype="float32", fused="auto")
+        save_teacher_ckpt(args.ckpt, cfg.model, params, stats)
+        print(f"[teacher_union] converted {args.convert_flagship} -> {args.ckpt}")
+    elif not args.use_ckpt:
+        train_teacher(
+            pairs, args.train_pairs, args.epochs, args.lr, args.seed,
+            args.platform, args.ckpt,
+        )
 
     from featurematching_tpu.data.pseudo_gt import (
         build_match_cache,

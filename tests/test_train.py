@@ -235,3 +235,97 @@ class TestPoseHeadTraining:
         out, losses = ev(state, batch)
         assert out.T_0to1_pred is not None
         assert np.isfinite(float(losses.loss_pose))
+
+
+class TestRound5TrainPath:
+    """uint8 wire format, the sparse-train match-extraction skip, and the
+    fixed-mode pose loss (round-5 features)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_test_config()
+        rng = np.random.default_rng(3)
+        batch = tiny_batch(rng)
+        tx = build_optimizer(cfg.trainer.optimizer, 2, 100)
+        model, state = create_train_state(cfg, tx, jax.random.PRNGKey(0), batch)
+        return cfg, model, state, batch
+
+    def test_uint8_wire_format_matches_f32(self, setup):
+        """A uint8 image batch must train identically to the SAME images fed
+        as f32 (the step dequantizes on device; train/step.py round 5)."""
+        cfg, model, state, batch = setup
+        q = {
+            k: (
+                jnp.asarray(
+                    np.clip(np.asarray(v) * 255.0, 0, 255).astype(np.uint8)
+                )
+                if k in ("image0", "image1")
+                else v
+            )
+            for k, v in batch.items()
+        }
+        deq = dict(q)
+        for k in ("image0", "image1"):
+            deq[k] = q[k].astype(jnp.float32) / 255.0
+        step = jax.jit(make_train_step(model, cfg))
+        _, m_u8 = step(state, q, jax.random.PRNGKey(1))
+        _, m_f32 = step(state, deq, jax.random.PRNGKey(1))
+        # in-jit dequantize fuses differently than a pre-dequantized input;
+        # the difference is f32 rounding order only
+        assert float(m_u8["loss"]) == pytest.approx(float(m_f32["loss"]), rel=1e-5)
+
+    def test_sparse_train_skips_match_extraction(self, setup):
+        """With GT ids + the sparse loss, the train forward emits an EMPTY
+        fixed-shape match list (extraction is dead weight, ~1.4 ms/step at
+        the flagship point); eval still extracts real matches."""
+        cfg, model, state, batch = setup
+        assert cfg.model.loss.sparse_spvs  # precondition of the skip
+        from featurematching_tpu.matching.supervision import (
+            compute_supervision_coarse,
+        )
+
+        H, W = batch["image0"].shape[1:3]
+        sc = cfg.model.resolution[0]
+        grid = (H // sc, W // sc)
+        sup = compute_supervision_coarse(
+            batch["gt_kp0"], batch["gt_kp1"], batch["gt_mask"], grid, grid, sc
+        )
+        out, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image0"], batch["image1"], train=True,
+            gt_ids=(sup.spv_i_ids, sup.spv_j_ids, sup.spv_mask),
+            want_conf_matrix=False, mutable=["batch_stats"],
+        )
+        assert not bool(np.asarray(out.coarse.mask).any())
+        # fine ids are the GT ids, not the (empty) extracted matches
+        np.testing.assert_array_equal(
+            np.asarray(out.fine_ids[0]), np.asarray(sup.spv_i_ids)
+        )
+
+    def test_pose_loss_fixed_mode_invariances(self):
+        """mode='fixed': translation loss is scale-free and quat loss is
+        sign-invariant (two-view pose is scale-free; eval is angular)."""
+        from featurematching_tpu.losses.loss import compute_pose_loss_new
+
+        cfg = tiny_test_config()
+        r = np.random.default_rng(1)
+        q = jnp.asarray(r.normal(size=(2, 2, 4)), jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        t = jnp.asarray(r.normal(size=(2, 2, 3)), jnp.float32)
+        lc = cfg.model.loss
+        perfect = compute_pose_loss_new(
+            q, t, q[:, 0], q[:, 1], t[:, 0], t[:, 1], lc, mode="fixed"
+        )
+        scaled = compute_pose_loss_new(
+            q, 5.0 * t, q[:, 0], q[:, 1], t[:, 0], t[:, 1], lc, mode="fixed"
+        )
+        negated = compute_pose_loss_new(
+            -q, t, q[:, 0], q[:, 1], t[:, 0], t[:, 1], lc, mode="fixed"
+        )
+        for v in (perfect, scaled, negated):
+            assert abs(float(v)) < 1e-5
+        wrong = compute_pose_loss_new(
+            jnp.roll(q, 1, axis=-1), t, q[:, 0], q[:, 1], t[:, 0], t[:, 1],
+            lc, mode="fixed",
+        )
+        assert float(wrong) > 1e-3
