@@ -221,25 +221,36 @@ def _enc_bwd(x, src, dout, wl, bm, kvmask, n_real, stash, wacc):
     return dx, dsrc2.reshape(CH, Np, C)
 
 
-def _fine_bwd_kernel(*refs, layer_names, n_real, C):
-    """refs: x0, x1, g0, g1, blockmask, kvmask, then 9 weight refs per layer,
-    then outputs dx0, dx1, then 9 weight-grad refs per layer.
+def _fine_bwd_kernel(*refs, layer_names, n_real, C, has_o0=False):
+    """refs: x0, x1, g0, g1, [o0 if has_o0], blockmask, kvmask, then 9 weight
+    refs per layer, then outputs dx0, dx1, then 9 weight-grad refs per layer.
 
     VMEM discipline: the forward replay stores ONLY each call's input
     activations (trace); the per-layer intermediate stash is recomputed
     inside the reverse sweep right before its _enc_bwd, so at most one
     call's stash is live at a time. Weight grads accumulate straight into
-    the revisited output refs."""
+    the revisited output refs.
+
+    has_o0 (round 5, single-cross-layer calls only): the cross layer's
+    first output o0 = enc(a0, a1) is ALREADY a forward output (the per-layer
+    fwd saves every layer boundary), so the caller passes it in and the
+    whole replay sweep is skipped — one fewer _enc_fwd_stash recompute
+    (~0.6 ms/step at the flagship shape)."""
     nl = len(layer_names)
     x0 = refs[0][...]
     x1 = refs[1][...]
     g0 = refs[2][...]
     g1 = refs[3][...]
-    bm = refs[4][...]
-    kvmask = refs[5][...]
-    wrefs = refs[6 : 6 + 9 * nl]
-    dx0_ref, dx1_ref = refs[6 + 9 * nl], refs[7 + 9 * nl]
-    wgrefs = refs[8 + 9 * nl :]
+    base = 4
+    o0_in = None
+    if has_o0:
+        o0_in = refs[4][...]
+        base = 5
+    bm = refs[base][...]
+    kvmask = refs[base + 1][...]
+    wrefs = refs[base + 2 : base + 2 + 9 * nl]
+    dx0_ref, dx1_ref = refs[base + 2 + 9 * nl], refs[base + 3 + 9 * nl]
+    wgrefs = refs[base + 4 + 9 * nl :]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -248,21 +259,25 @@ def _fine_bwd_kernel(*refs, layer_names, n_real, C):
 
     layers = [tuple(r[...] for r in wrefs[9 * i : 9 * (i + 1)]) for i in range(nl)]
 
-    # forward replay storing ONLY layer-call inputs
-    a0, a1 = x0, x1
-    trace = []
-    for i, name in enumerate(layer_names):
-        wl = layers[i]
-        if name == "self":
-            o0, _ = _enc_fwd_stash(a0, a0, wl, bm, kvmask, n_real)
-            o1, _ = _enc_fwd_stash(a1, a1, wl, bm, kvmask, n_real)
-            trace.append((a0, a1, None))
-            a0, a1 = o0, o1
-        else:
-            o0, _ = _enc_fwd_stash(a0, a1, wl, bm, kvmask, n_real)
-            o1, _ = _enc_fwd_stash(a1, o0, wl, bm, kvmask, n_real)
-            trace.append((a0, a1, o0))
-            a0, a1 = o0, o1
+    if has_o0:
+        assert nl == 1 and layer_names[0] != "self"
+        trace = [(x0, x1, o0_in)]
+    else:
+        # forward replay storing ONLY layer-call inputs
+        a0, a1 = x0, x1
+        trace = []
+        for i, name in enumerate(layer_names):
+            wl = layers[i]
+            if name == "self":
+                o0, _ = _enc_fwd_stash(a0, a0, wl, bm, kvmask, n_real)
+                o1, _ = _enc_fwd_stash(a1, a1, wl, bm, kvmask, n_real)
+                trace.append((a0, a1, None))
+                a0, a1 = o0, o1
+            else:
+                o0, _ = _enc_fwd_stash(a0, a1, wl, bm, kvmask, n_real)
+                o1, _ = _enc_fwd_stash(a1, o0, wl, bm, kvmask, n_real)
+                trace.append((a0, a1, o0))
+                a0, a1 = o0, o1
 
     class _WAcc:
         """list-like adapter: wacc[j] += v accumulates into the grad refs."""
@@ -387,16 +402,30 @@ def _fwd_impl(w0, w1, tf_params, layer_names, nhead, chunk, interpret):
 
 
 def _vjp_fwd(w0, w1, tf_params, layer_names, nhead, chunk, interpret):
-    out, res = _fwd_impl(w0, w1, tf_params, layer_names, nhead, chunk, interpret)
-    return out, res
+    out, (inputs, tfp) = _fwd_impl(
+        w0, w1, tf_params, layer_names, nhead, chunk, interpret
+    )
+    # the layer OUTPUTS ride along as residuals too: a cross layer's first
+    # output o0 = enc(a0, a1) is exactly what its backward would otherwise
+    # replay (next layer's input / the final out — no extra compute)
+    return out, (inputs, out, tfp)
 
 
-def _layer_bwd_call(name, x0, x1, d0, d1, wvals, nhead, N, chunk, interpret):
-    """One encoder layer's backward as a single pallas_call (nl=1 kernel)."""
+def _layer_bwd_call(name, x0, x1, d0, d1, wvals, nhead, N, chunk, interpret,
+                    o0=None):
+    """One encoder layer's backward as a single pallas_call (nl=1 kernel).
+
+    o0: for cross layers, the layer's saved first output enc(x0, x1) — lets
+    the kernel skip the forward replay (see _fine_bwd_kernel)."""
     B_, _, C = x0.shape
     dtype = x0.dtype
     x0p, x1p, Np = _pads(x0, x1, N)
     d0p, d1p, _ = _pads(d0.astype(dtype), d1.astype(dtype), N)
+    has_o0 = o0 is not None and name != "self"
+    extra = []
+    if has_o0:
+        o0p, _, _ = _pads(o0.astype(dtype), o0.astype(dtype), N)
+        extra = [o0p]
     chunk = _chunk_of(B_, Np, C, 1, chunk)
     bm, kvmask = _masks(Np, N, C, nhead)
 
@@ -409,16 +438,13 @@ def _layer_bwd_call(name, x0, x1, d0, d1, wvals, nhead, N, chunk, interpret):
         (2 * C, 2 * C), (2 * C, C), (1, C), (1, C),
     ]
     kern = functools.partial(
-        _fine_bwd_kernel, layer_names=(name,), n_real=N, C=C
+        _fine_bwd_kernel, layer_names=(name,), n_real=N, C=C, has_o0=has_o0
     )
+    chunk_spec = pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0))
     outs = pl.pallas_call(
         kern,
         grid=(B_ // chunk,),
-        in_specs=[
-            pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0)),
-            pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0)),
-            pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0)),
-            pl.BlockSpec((chunk, Np, C), lambda gi: (gi, 0, 0)),
+        in_specs=[chunk_spec] * (4 + len(extra)) + [
             spec_of(bm), spec_of(kvmask),
         ] + [spec_of(a) for a in wvals],
         out_specs=tuple(
@@ -431,12 +457,12 @@ def _layer_bwd_call(name, x0, x1, d0, d1, wvals, nhead, N, chunk, interpret):
         ),
         interpret=interpret,
         compiler_params=None if interpret else vmem_params(TUNE["bwd_vmem_mb"]),
-    )(x0p, x1p, d0p, d1p, bm, kvmask, *wvals)
+    )(x0p, x1p, d0p, d1p, *extra, bm, kvmask, *wvals)
     return outs[0][:, :N], outs[1][:, :N], outs[2:]
 
 
 def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
-    inputs, tf_params = res
+    inputs, final_out, tf_params = res
     d0, d1 = g
     N = d0.shape[1]
     dtype = inputs[0][0].dtype
@@ -446,8 +472,12 @@ def _vjp_bwd(layer_names, nhead, chunk, interpret, res, g):
     for i in range(nl - 1, -1, -1):
         wvals = _layer_values(tf_params[f"layer_{i}"], dtype)
         x0, x1 = inputs[i]
+        o0 = None
+        if layer_names[i] != "self":
+            o0 = inputs[i + 1][0] if i + 1 < nl else final_out[0]
         d0, d1, wgs_all[i] = _layer_bwd_call(
-            layer_names[i], x0, x1, d0, d1, wvals, nhead, N, chunk, interpret
+            layer_names[i], x0, x1, d0, d1, wvals, nhead, N, chunk, interpret,
+            o0=o0,
         )
     dw0, dw1 = d0, d1
 
