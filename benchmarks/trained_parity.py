@@ -513,7 +513,8 @@ def run_reference(
 # our side (jax CPU, same init / data / optimizer)
 # ---------------------------------------------------------------------------
 
-def our_config(arch=TINY, dtype="float32", fused="auto", pose="none"):
+def our_config(arch=TINY, dtype="float32", fused="auto", pose="none",
+               pose_t_weight=None):
     import dataclasses as dc
 
     from featurematching_tpu.config import Config
@@ -568,6 +569,10 @@ def our_config(arch=TINY, dtype="float32", fused="auto", pose="none"):
             # pose protocol: actually train the head (harness re-adds the
             # reference's commented-out accumulation on the torch side too)
             pose_in_total=pose != "none",
+            **(
+                {} if pose_t_weight is None
+                else dict(t_weight=pose_t_weight)
+            ),
         ),
         pose=dc.replace(cfg.model.pose, flag=pose),
         compute_dtype=dtype,
@@ -598,7 +603,7 @@ def our_batch(pair: dict) -> Dict[str, np.ndarray]:
 
 def run_ours(
     pairs, n_train, order, lr, init_sd, arch=TINY, dtype="float32", fused="auto",
-    warmup=0, clip=0.0, pose="none",
+    warmup=0, clip=0.0, pose="none", pose_t_weight=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -613,7 +618,7 @@ def run_ours(
     )
     from featurematching_tpu.utils.torch_convert import convert_matcher
 
-    cfg = our_config(arch, dtype, fused, pose)
+    cfg = our_config(arch, dtype, fused, pose, pose_t_weight=pose_t_weight)
     model = Matcher(cfg.model)
     sample = our_batch(pairs[0])
 
@@ -742,6 +747,9 @@ def main():
     ap.add_argument("--ref-json", default="", help="--side ours: merge this ref result")
     ap.add_argument("--ours-platform", choices=("cpu", "device"), default="cpu")
     ap.add_argument("--ours-dtype", choices=("auto", "float32", "bfloat16"), default="auto")
+    ap.add_argument("--pose-t-weight", type=float, default=None,
+                    help="ours-side ablation: override loss t_weight for the "
+                         "pose head (the translation-signal probe)")
     ap.add_argument("--ours-fused", choices=("auto", "on", "off"), default="auto",
                     help="force the fused Pallas train kernels on/off (NaN isolation)")
     ap.add_argument("--out", default="")
@@ -820,6 +828,7 @@ def main():
             pairs, args.train_pairs, order, args.lr, init_sd, arch=arch,
             dtype=dtype, fused=args.ours_fused, warmup=args.warmup,
             clip=args.clip, pose=args.pose,
+            pose_t_weight=args.pose_t_weight,
         )
         result["ours"] = {
             **our_metrics,
