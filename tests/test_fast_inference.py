@@ -57,3 +57,31 @@ class TestFastInference:
                 np.asarray(ref.fine.mkpts0_f[0])[rm],
                 rtol=1e-2, atol=5e-2,
             )
+
+    def test_batch_generality(self, setup):
+        """Match sets must agree per-pair at batch > 1 (odd batch exercises
+        the 2B concat split and the row-chunked kernels' tail handling —
+        the serving batch is a free knob, benchmarks/batch_sweep.py)."""
+        mcfg, model, variables, img0, img1 = setup
+        rng = np.random.default_rng(7)
+        B = 3
+        a = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+        b = jnp.asarray(np.roll(np.asarray(a), 8, axis=2))
+        ref = model.apply(variables, a, b)
+        fast = make_fast_matcher_fn(mcfg, interpret=True)(variables, a, b)
+        for i in range(B):
+            rm = np.asarray(ref.coarse.mask[i])
+            fm = np.asarray(fast.coarse.mask[i])
+            ref_set = set(
+                zip(
+                    np.asarray(ref.coarse.i_ids[i])[rm],
+                    np.asarray(ref.coarse.j_ids[i])[rm],
+                )
+            )
+            fast_set = set(
+                zip(
+                    np.asarray(fast.coarse.i_ids[i])[fm],
+                    np.asarray(fast.coarse.j_ids[i])[fm],
+                )
+            )
+            assert ref_set == fast_set, f"pair {i} match set diverged"
