@@ -22,7 +22,8 @@ import numpy as np
 
 REF_PAIRS_PER_S = 8.6  # LoFTR @ 640x480 on RTX 2080 Ti (116 ms/pair)
 
-BATCH = 4
+BATCH = 4  # bracketed throughput optimum: 2/4/8/16 -> 171/184/174/163
+# pairs/s on the chip (benchmarks/batch_sweep.json)
 WARMUP = 2
 ITERS = 150  # sized so the one end-of-window host fetch (tunnel round trip,
 # ~25 ms — block_until_ready is a no-op on axon) amortizes below the noise
